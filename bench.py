@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap action (count) so the full plan executes;
+a warmup pass primes the JVM/codegen so numbers reflect steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ploverdb_spark.catalog import all_queries
+    from ploverdb_spark.session import get_spark
+
+    spark = get_spark("ploverdb_spark_bench")
+    qs = all_queries()
+
+    # Warmup: prime JVM, codegen, and parquet footer caches.
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).limit(1).count()
+        except Exception:
+            pass
+
+    # min-of-N per query: single runs carry multi-second scheduler/GC
+    # jitter in local mode; the min is the steady-state cost of the plan.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        best = -1.0
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # a failing query should not hide the rest
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}")
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

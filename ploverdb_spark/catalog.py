@@ -1,0 +1,114 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+equivalent ANSI-SQL string that DuckDB runs on the same parquet tables.  The
+driver compares the two (row count + schema + order-insensitive value hash),
+so every computed column is aliased identically on both sides.
+
+Determinism rules for oracle-matched queries:
+- money/measure sums go through DECIMAL casts (exact, order-independent)
+  and are cast back to DOUBLE only at the end;
+- raw-double aggregation uses only order-independent exact ops
+  (count/min/max);
+- top-k queries always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with optional oracle SQL."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-provided parquet tables.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long (session conf, safe to set at
+    runtime) and convert to a microsecond timestamp — matching how DuckDB
+    (microsecond-precision timestamps) sees the same file.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+
+
+def get(name: str) -> QuerySpec:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are for their registration side effects.
+    from ploverdb_spark.queries import relational  # noqa: F401
+
+    try:
+        from ploverdb_spark.queries import graph  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from ploverdb_spark.queries import pipeline  # noqa: F401
+    except ImportError:
+        pass
+    _LOADED = True

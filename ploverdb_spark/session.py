@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode runs a single JVM with N threads; on a real cluster the same
+settings hold (AQE handles runtime re-planning, skew joins and partition
+coalescing).  ``spark.sql.session.timeZone=UTC`` is pinned so timestamp
+results compare exactly against the DuckDB oracle (DuckDB timestamps are
+UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for local[32] testing; on a 1000-executor cluster these would be set
+# by the deployment (shuffle.partitions ~ 2-3x total cores, autoBroadcast
+# threshold per executor memory).
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def get_spark(app_name: str = "ploverdb_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Return (or create) the singleton SparkSession.
+
+    If a session already exists (e.g. the driver created one and passed it
+    to ``entry()``), its config wins; we only apply defaults on first
+    creation.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
