@@ -12,7 +12,14 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
+
+
+def _progress(msg: str) -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_QUIET"):
+        return
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -28,10 +35,12 @@ def main() -> None:
 
     # Warmup: prime JVM, codegen, and parquet footer caches.
     for name, fn in qs.items():
+        t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).limit(1).count()
         except Exception:
             pass
+        _progress(f"# warmup {name}: {time.perf_counter() - t0:.2f}s")
 
     # min-of-N per query: single runs carry multi-second scheduler/GC
     # jitter in local mode; the min is the steady-state cost of the plan.
@@ -46,6 +55,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best < 0 else min(best, dt)
             timings[name] = round(best, 4)
+            _progress(f"# timed {name}: {best:.2f}s")
         except Exception as exc:  # a failing query should not hide the rest
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}")

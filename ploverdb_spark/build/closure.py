@@ -1,0 +1,122 @@
+"""KG concept-subclass transitive closure as a distributed DataFrame job.
+
+Reference behavior reimplemented (NOT ported): plover.py:552-626 builds a
+``subclass_index`` by recursive DFS over in-memory dicts with cycle
+detection and a depth-20 cap; plover.py:1655-1661 prunes parents with
+>5,000 descendants and ``biolink:``-prefixed parents.
+
+Spark-first design: semi-naive iteration (datalog). Each round joins the
+current *frontier* (pairs discovered last round) against the parent->child
+edge set, so work per round is proportional to new pairs, not the whole
+closure.  ``dropDuplicates`` + bounded rounds make cycles safe.  At 100 TB
+scale the edge set is hash-partitioned on ``parent`` once and reused every
+round (no re-shuffle of the static side); frontiers stay small relative to
+the closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 20  # parity with reference plover.py:1652
+MAX_DESCENDANTS = 5000  # parity with reference plover.py:1658
+_CHECKPOINT_EVERY = 5  # truncate lineage so plans don't grow unboundedly
+
+
+def transitive_closure(
+    parent_child: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    max_descendants: int | None = MAX_DESCENDANTS,
+    prune_prefix: str | None = "biolink:",
+) -> DataFrame:
+    """Compute (ancestor, descendant, depth) for a parent->child edge set.
+
+    ``parent_child`` must have columns ``parent`` and ``child``. The result
+    excludes self-pairs.  Pruning mirrors the reference: ancestors whose
+    descendant count exceeds ``max_descendants`` are dropped entirely, as
+    are ancestors whose id starts with ``prune_prefix``.
+    """
+    edges = (
+        parent_child.select(
+            F.col("parent").alias("ancestor"), F.col("child").alias("descendant")
+        )
+        .where(F.col("ancestor") != F.col("descendant"))
+        .dropDuplicates(["ancestor", "descendant"])
+    )
+    spark = parent_child.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Static side partitioned once on the join key and cached: every
+    # iteration reuses this layout instead of re-shuffling.
+    edges = edges.repartition(num_parts, "ancestor").persist()
+    edges.count()  # materialize before the loop
+
+    closure = edges.withColumn("depth", F.lit(1))
+    frontier = closure
+    for depth in range(2, max_depth + 1):
+        # new pairs: ancestor -> (frontier descendant's children)
+        grown = (
+            frontier.join(
+                edges.select(
+                    F.col("ancestor").alias("mid"),
+                    F.col("descendant").alias("new_descendant"),
+                ),
+                frontier.descendant == F.col("mid"),
+            )
+            .select(
+                "ancestor",
+                F.col("new_descendant").alias("descendant"),
+                F.lit(depth).alias("depth"),
+            )
+            .where(F.col("ancestor") != F.col("descendant"))
+        )
+        # keep only pairs not already known (cycle safety + termination)
+        frontier = grown.join(
+            closure.select("ancestor", "descendant"),
+            on=["ancestor", "descendant"],
+            how="left_anti",
+        ).persist()
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier)
+        if depth % _CHECKPOINT_EVERY == 0:
+            # Truncate lineage: local[,] has no HDFS checkpoint dir, so
+            # persist + count is the pragmatic equivalent.
+            closure = closure.persist()
+            closure.count()
+
+    closure = closure.dropDuplicates(["ancestor", "descendant"])
+
+    if prune_prefix:
+        closure = closure.where(~F.col("ancestor").startswith(prune_prefix))
+    if max_descendants is not None:
+        big = (
+            closure.groupBy("ancestor")
+            .count()
+            .where(F.col("count") > max_descendants)
+            .select("ancestor")
+        )
+        closure = closure.join(F.broadcast(big), on="ancestor", how="left_anti")
+    return closure
+
+
+def subclass_edges(
+    edges: DataFrame,
+    subclass_predicates: tuple[str, ...] = ("biolink:subclass_of",),
+    superclass_predicates: tuple[str, ...] = ("biolink:superclass_of",),
+    allowed_sources: list[str] | None = None,
+) -> DataFrame:
+    """Extract (parent, child) pairs from KG edges (reference G1,
+    plover.py:1521-1618): ``subclass_of`` means child-subject->parent-object;
+    ``superclass_of`` is the reversed orientation.  Optional provenance
+    filter on ``primary_knowledge_source``."""
+    e = edges
+    if allowed_sources and "primary_knowledge_source" in e.columns:
+        e = e.where(F.col("primary_knowledge_source").isin(allowed_sources))
+    sub = e.where(F.col("predicate").isin(list(subclass_predicates))).select(
+        F.col("object").alias("parent"), F.col("subject").alias("child")
+    )
+    sup = e.where(F.col("predicate").isin(list(superclass_predicates))).select(
+        F.col("subject").alias("parent"), F.col("object").alias("child")
+    )
+    return sub.unionByName(sup).dropDuplicates(["parent", "child"])

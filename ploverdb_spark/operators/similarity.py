@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): query set is tiny
+  and broadcast; candidates stream through one scan — no shuffle except
+  the final per-query top-k.
+- IVF (inverted-file) top-k (the 100 TB scale path): centroids from a
+  cheap distributed aggregation (here: per-label means, i.e. one k-means
+  step with given assignments), queries probe only their nearest cell(s),
+  so the candidate set is |cell| not |corpus|.
+
+The top-k itself is a window row_number over (query, score) — Spark's
+native top-k-per-group pattern with partial sort pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ploverdb_spark.operators.dedup import cosine, quantized_cosine_udf
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for the given query ids against the full corpus."""
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    candidates = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    )
+    qcos = quantized_cosine_udf()
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", qcos(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid vectors via elementwise mean — a distributed
+    aggregate (posexplode + groupBy), no driver-side math."""
+    dim = F.size(F.col(vec_col))
+    exploded = embeddings.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("v").alias("mean_v"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_v"))
+            ).alias("pairs")
+        )
+        .select(
+            "cell",
+            F.transform(F.col("pairs"), lambda p: p.mean_v).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_cells: int = 1,
+) -> DataFrame:
+    """Approximate top-k: route each query to its ``n_probe_cells`` nearest
+    centroids, then brute-force only within those cells.
+
+    At 100 TB: centroids are broadcast (K x dim doubles), the candidate
+    join is an equi-join on the cell id — candidate volume is
+    |query| x |cell| instead of |query| x |corpus|.
+    """
+    centroids = ivf_centroids(embeddings, cell_col, vec_col)
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+    )
+    qcos = quantized_cosine_udf()
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", qcos(F.col("q_emb"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+    probe = (
+        routed.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_probe_cells)
+        .select("query_id", "q_emb", "cell")
+    )
+    candidates = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+    )
+    scored = (
+        candidates.join(F.broadcast(probe), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", qcos(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos")
+        )
+    )

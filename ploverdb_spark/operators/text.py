@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+All implementations are pure Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere.  Each operator is deterministic so the
+DuckDB oracle can recompute it exactly:
+
+- token counting: whitespace tokens + a BPE-ish regex token count
+- quality scoring: length / punctuation / stopword ratios
+- language ID: marker-word scoring with a fixed precedence argmax
+- fingerprinting: shingle-hash minimum (winnowing-style document
+  fingerprint built from md5 k-gram hashes, which both engines share)
+
+At 100 TB these are embarrassingly parallel scans — no shuffle at all;
+Catalyst prunes to the ``text`` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language -> marker words (for the n-gram/marker heuristic; precedence =
+# tuple order, first wins ties)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "fr": ("le", "et", "les", "est"),
+    "es": ("el", "y", "los", "es"),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Non-empty whitespace-delimited tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(ws_tokens(t)).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality signals + a composite score.
+
+    All ratios are single divisions (order-independent, oracle-exact).
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(F.lower(t))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    mean_token_len = (
+        F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_tokens, F.lit(1))
+    )
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(mean_token_len / F.lit(10.0), F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language,
+    argmax with fixed precedence (en > de > fr > es > und)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    def marker_hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: F.filter would treat a two-arg callable as the
+        # (element, index) variant
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    predicted = F.lit("und")
+    for lang in reversed(langs):  # earlier langs overwrite -> win ties
+        predicted = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(predicted)
+    # one select: predicted references the text column, which the
+    # projection drops
+    return df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        predicted.alias("predicted_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", shingle_len: int = 4
+) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 over word ``shingle_len``-
+    grams, keep the minimum hash (reference had no equivalent; this is the
+    rolling-hash fingerprint a dedup pipeline needs).
+
+    Tokens are staged as a projection first — an inline token expression
+    would be re-evaluated per shingle inside the lambda (quadratic/row).
+    """
+    staged = df.select(
+        "doc_id", ws_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= shingle_len,
+        F.transform(
+            F.sequence(F.lit(1), n - shingle_len + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_len), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    return staged.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        n.alias("n_tokens"),
+    )

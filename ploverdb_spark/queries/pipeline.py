@@ -1,0 +1,385 @@
+"""LLM-training-data pipeline operators over documents/embeddings,
+oracle-checked where SQL-expressible.
+
+Dedup strategies run against a doubled corpus (documents UNION documents
+with shifted ids) so every strategy provably detects the planted exact
+duplicates — the raw table has no duplicate texts, which would make the
+checks vacuous.
+
+md5 is the shared deterministic hash between Spark and DuckDB, so
+MinHash/LSH and SimHash are *exactly* reproducible in the oracle — no
+rows-only downgrade needed.  The only rows-only entries are the IVF
+similarity search (float mean centroids are accumulation-order-dependent)
+and the mapInPandas multimodal extractor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ploverdb_spark.catalog import load, register
+from ploverdb_spark.operators import dedup as D
+from ploverdb_spark.operators import multimodal as M
+from ploverdb_spark.operators import similarity as S
+from ploverdb_spark.operators import text as T
+
+_ID_SHIFT = 1_000_000
+
+# SQL fragments shared by oracles -------------------------------------------
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_DOUBLED = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_ID_SHIFT} AS doc_id, text FROM documents
+"""
+_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "text")
+    )
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+@register(
+    "t1_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenization "
+    "(pure scan, no shuffle).",
+)
+def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t2_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKENS} AS toks,
+             length(text) AS n_chars_actual
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars_actual,
+             len(toks) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / GREATEST(length(text), 1) AS punct_ratio_raw,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it'], x)))
+               / GREATEST(len(toks), 1) AS stop_ratio_raw,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / GREATEST(len(toks), 1) AS mean_token_len
+      FROM t
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           ROUND(punct_ratio_raw, 6) AS punct_ratio,
+           ROUND(stop_ratio_raw, 6) AS stopword_ratio,
+           ROUND(0.4 * stop_ratio_raw + 0.3 * (1.0 - punct_ratio_raw)
+                 + 0.3 * LEAST(mean_token_len / 10.0, 1.0), 6) AS quality_score
+    FROM s
+    """,
+    doc="Quality scoring: length/punctuation/stopword ratios + composite "
+    "score; single-division ratios keep it oracle-exact.",
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t3_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en,
+        len(list_filter(toks, x -> list_contains(['der','und','das','ist'], x))) AS score_de,
+        len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr,
+        len(list_filter(toks, x -> list_contains(['el','y','los','es'], x))) AS score_es
+      FROM t
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+      CASE
+        WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+        WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+        WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+        ELSE 'es'
+      END AS predicted_lang
+    FROM s
+    """,
+    doc="Language-ID marker heuristic: per-language marker-word hits, "
+    "fixed-precedence argmax.",
+)
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t4_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 4
+                THEN list_min(list_transform(range(1, len(toks) - 2),
+                     i -> md5(array_to_string(toks[i:i+3], ' '))))
+                ELSE md5(array_to_string(toks, ' '))
+           END AS fingerprint,
+           len(toks) AS n_tokens
+    FROM t
+    """,
+    doc="Document fingerprint: min of md5 word-4-gram hashes "
+    "(winnowing-style; md5 shared between engines).",
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+@register(
+    "d1_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED})
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           LIST_SORT(LIST(doc_id)) AS all_ids
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text) over the doubled corpus "
+    "(map-side partial agg, one shuffle on the hash).",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_doubled_docs(spark, sf_dir))
+
+
+@register(
+    "d2_minhash_lsh_pairs",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED}),
+    tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tk
+    ),
+    sigs AS (
+      SELECT doc_id,
+        list_min(list_transform(shingles, s -> md5('0|' || s))) AS m0,
+        list_min(list_transform(shingles, s -> md5('1|' || s))) AS m1,
+        list_min(list_transform(shingles, s -> md5('2|' || s))) AS m2,
+        list_min(list_transform(shingles, s -> md5('3|' || s))) AS m3,
+        list_min(list_transform(shingles, s -> md5('4|' || s))) AS m4,
+        list_min(list_transform(shingles, s -> md5('5|' || s))) AS m5,
+        list_min(list_transform(shingles, s -> md5('6|' || s))) AS m6,
+        list_min(list_transform(shingles, s -> md5('7|' || s))) AS m7
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(m4 || '|' || m5) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(m6 || '|' || m7) AS band_key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash+LSH near-dup candidates: word-3-gram shingles -> 8 "
+    "md5-derived minhashes -> 4 bands -> bucket self-join. The scale path: "
+    "candidate pairs only form within a band bucket.",
+)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_doubled_docs(spark, sf_dir))
+    return D.lsh_candidate_pairs(sigs)
+
+
+@register(
+    "d3_simhash",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED}),
+    tk AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, md5(tok) AS hh FROM tk
+    ),
+    v AS (
+      SELECT doc_id,
+        {', '.join(
+            f"SUM(CASE WHEN substr(hh, {b + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(16)
+        )}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" || ".join(
+               f"(CASE WHEN v{b} >= 0 THEN '1' ELSE '0' END)" for b in range(16)
+           )} AS simhash
+    FROM v
+    """,
+    doc="SimHash signatures: per-token md5 hex-digit bit votes -> 16-bit "
+    "signature; one explode + one groupBy.",
+)
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_doubled_docs(spark, sf_dir))
+
+
+@register(
+    "d4_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED}),
+    tk AS (
+      SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM corpus
+    ),
+    pairs AS (
+      SELECT doc_id AS doc_a, doc_id + {_ID_SHIFT} AS doc_b FROM documents
+      UNION ALL
+      SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+      WHERE doc_id + 1 IN (SELECT doc_id FROM documents)
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                 GREATEST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)), 1), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN tk a ON a.doc_id = p.doc_a
+    JOIN tk b ON b.doc_id = p.doc_b
+    """,
+    doc="Token-set Jaccard for candidate pairs (planted dup pairs score "
+    "1.0; adjacent-id pairs give a non-trivial distribution).",
+)
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dup_pairs = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + _ID_SHIFT).alias("doc_b"),
+    )
+    ids = docs.select("doc_id")
+    adj_pairs = (
+        docs.select(
+            F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+        )
+        .join(ids.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi")
+    )
+    pairs = dup_pairs.unionByName(adj_pairs)
+    return D.ngram_jaccard(pairs, _doubled_docs(spark, sf_dir))
+
+
+def _qdot(a: str, b: str) -> str:
+    """DuckDB fragment: integer-quantized dot product — exactly the
+    computation quantized_cosine_udf performs (floor(x*1e7+0.5) -> int64
+    products -> exact integer sum)."""
+    q1 = "CAST(FLOOR(CAST(x[1] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+    q2 = "CAST(FLOOR(CAST(x[2] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+    return f"list_sum(list_transform(list_zip({a}, {b}), x -> {q1} * {q2}))"
+
+
+def _qcos(a: str, b: str) -> str:
+    return (
+        f"(CAST({_qdot(a, b)} AS DOUBLE) / "
+        f"(SQRT(CAST({_qdot(a, a)} AS DOUBLE)) * SQRT(CAST({_qdot(b, b)} AS DOUBLE))))"
+    )
+
+
+@register(
+    "d5_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_qcos('a.embedding', 'b.embedding')} > 0.3
+    """,
+    doc="Embedding-cosine near-dup with label blocking: pair space is "
+    "per-block, not corpus-quadratic; int64-quantized dot products make "
+    "the numpy pandas_udf bit-identical to the SQL oracle.",
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# -- similarity search ------------------------------------------------------
+
+
+@register(
+    "s1_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_qcos('q.embedding', 'c.embedding')} AS cos_raw
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-k (correctness baseline for ANN): "
+    "broadcast query set x one corpus scan + per-query window top-k; "
+    "int64-quantized cosine keeps Spark and the oracle bit-identical.",
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+@register(
+    "s2_ivf_topk",
+    oracle=None,  # float centroid means are accumulation-order-dependent
+    doc="IVF approximate top-k (the 100 TB scale path): per-cell centroids "
+    "via distributed elementwise mean, queries probe nearest cell only. "
+    "Rows-only check: centroid float means are not order-deterministic.",
+)
+def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+@register(
+    "m1_media_features",
+    oracle=None,  # mapInPandas decode stage is not SQL-expressible
+    doc="Multimodal plumbing: binary payload column -> Arrow-batched "
+    "mapInPandas decode/feature-extract (deterministic fake codec; real "
+    "codecs slot into operators/multimodal.py). Rows-only check.",
+)
+def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs)
+    return M.extract_media_features(media)

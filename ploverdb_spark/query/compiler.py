@@ -1,0 +1,578 @@
+"""TRAPI query-graph -> DataFrame-plan compiler (the engine core).
+
+Reference behavior reimplemented Spark-first (NOT ported): the reference
+answers one-hop queries by walking nested in-memory dict indexes
+(``_lookup_answers``, plover.py:2011-2119).  Here the semantic rewrites
+(R1-R6) happen driver-side as plain query compilation, and the lookup is
+one declarative DataFrame pipeline over ``edges_bidir``:
+
+    input ids (tiny DF, broadcast)
+      -> subclass expansion join (J5, closure table)
+      -> join edges_bidir on node_id (J2)
+      -> predicate/direction filters (F2/F4) from driver-expanded sets
+      -> output category overlap filter (F1/J7) or output-id join (J3)
+      -> attribute-constraint filter (F3)
+      -> answer edge DF (edge id + bound input/output ids + query ids)
+
+Catalyst pushes the predicate/category filters into the scan; the
+query-id side is always broadcast (bounded by query size x subclass
+fan-out, capped like the reference's closure at 5,000/parent).
+
+Errors mirror the reference's HTTP semantics via :class:`QueryError`
+(status 400/403 — plover.py:1809-1832, 2051-2058).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ploverdb_spark.build.ingest import DIR_FORWARD, DIR_REVERSE, KnowledgeGraph
+from ploverdb_spark.query.constraints import apply_attribute_constraints
+
+SUPPORTED_QUALIFIERS = {
+    "biolink:qualified_predicate",
+    "biolink:object_direction_qualifier",
+    "biolink:object_aspect_qualifier",
+}  # reference plover.py:696-698
+
+
+class QueryError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+@dataclass
+class CompiledQEdge:
+    """Driver-side result of the R2/R3/J6/J8/F4 rewrites."""
+
+    qedge_key: str
+    input_qnode_key: str
+    output_qnode_key: str
+    input_is_subject: bool
+    use_conglomerate: bool
+    directed_predicates: set[str] = dc_field(default_factory=set)
+    bidirectional_predicates: set[str] = dc_field(default_factory=set)
+    output_categories: list[str] = dc_field(default_factory=list)
+    output_ids: list[str] | None = None
+    attribute_constraints: list[dict] = dc_field(default_factory=list)
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+class TrapiEngine:
+    """Serves TRAPI one-hop / edgeless queries over a KnowledgeGraph."""
+
+    # Size guard for driver-resident closure/synonym maps (SURVEY §7:
+    # "closures/synonyms are the only broadcast-sized artifacts, and each
+    # needs a size guard + shuffle-join fallback").  Below the guard the
+    # engine keeps them as plain dicts — id canonicalization and subclass
+    # expansion then cost zero Spark actions per query, which is what makes
+    # one-hop latency interactive (the reference holds the same maps in
+    # process memory, plover.py:692-695).  Above it, distributed joins.
+    DRIVER_MAP_MAX_ROWS = 2_000_000
+
+    def __init__(
+        self,
+        kg: KnowledgeGraph,
+        kp_infores_curie: str = "infores:ploverdb-spark",
+        answer_cutoff: int | None = None,
+        driver_map_max_rows: int | None = None,
+    ):
+        self.kg = kg
+        self.spark: SparkSession = kg.edges.sparkSession
+        self.model = kg.model
+        self.kp_infores_curie = kp_infores_curie
+        self.answer_cutoff = (
+            answer_cutoff
+            if answer_cutoff is not None
+            else kg.config.num_edges_per_answer_cutoff
+        )
+        self._conglomerate_index: dict[str, set[str]] | None = None
+        self._driver_map_max_rows = (
+            driver_map_max_rows
+            if driver_map_max_rows is not None
+            else self.DRIVER_MAP_MAX_ROWS
+        )
+        # False = not yet decided; None = too big, use join fallback
+        self._synonym_map: dict[str, str] | None | bool = False
+        self._closure_map: dict[str, list[str]] | None | bool = False
+
+    def _get_synonym_map(self) -> dict[str, str] | None:
+        if self._synonym_map is False:
+            syn = self.kg.id_synonyms
+            if syn.limit(self._driver_map_max_rows + 1).count() <= self._driver_map_max_rows:
+                self._synonym_map = {
+                    r.alias_id: r.preferred_id for r in syn.collect()
+                }
+            else:
+                self._synonym_map = None
+        return self._synonym_map
+
+    def _get_closure_map(self) -> dict[str, list[str]] | None:
+        if self._closure_map is False:
+            clo = self.kg.subclass_closure
+            if clo.limit(self._driver_map_max_rows + 1).count() <= self._driver_map_max_rows:
+                m: dict[str, list[str]] = {}
+                for r in clo.collect():
+                    m.setdefault(r.ancestor, []).append(r.descendant)
+                self._closure_map = m
+            else:
+                self._closure_map = None
+        return self._closure_map
+
+    # ------------------------------------------------------------------
+    # driver-side query compilation (R1-R6)
+    # ------------------------------------------------------------------
+
+    def _tiny_df(self, data, schema: str) -> DataFrame:
+        """Query-sized literal DataFrame in ONE partition — createDataFrame
+        otherwise spreads a handful of rows over defaultParallelism
+        partitions, turning every downstream stage into empty-task spam."""
+        return self.spark.createDataFrame(data, schema).coalesce(1)
+
+    def canonicalize_ids(self, ids: list[str]) -> dict[str, str]:
+        """R1/J4 (plover.py:1797-1804): map query ids through the synonym
+        table — driver map when under the size guard (zero Spark actions),
+        else a join (the id list is query-sized, so collecting the join
+        result is safe; the synonym table itself never collects)."""
+        if not ids:
+            return {}
+        syn_map = self._get_synonym_map()
+        if syn_map is not None:
+            return {i: syn_map.get(i, i) for i in ids}
+        ids_df = self._tiny_df([(i,) for i in ids], "alias_id string")
+        rows = (
+            ids_df.join(self.kg.id_synonyms, on="alias_id", how="left")
+            .select("alias_id", "preferred_id")
+            .collect()
+        )
+        return {r.alias_id: (r.preferred_id or r.alias_id) for r in rows}
+
+    def _conglomerate_descendant_index(self) -> dict[str, set[str]]:
+        """G4 (plover.py:1486-1519): ancestor qualifier-combo string ->
+        conglomerate predicates present in the KG.  Built once from the
+        *distinct* qualifier combos (ontology-sized, safe to collect)."""
+        if self._conglomerate_index is not None:
+            return self._conglomerate_index
+        combos = (
+            self.kg.edges_bidir.where(
+                F.col("qualified_predicate").isNotNull()
+                | F.col("object_direction_qualifier").isNotNull()
+                | F.col("object_aspect_qualifier").isNotNull()
+            )
+            .select(
+                "predicate",
+                "qualified_predicate",
+                "object_direction_qualifier",
+                "object_aspect_qualifier",
+                "conglomerate_predicate",
+            )
+            .distinct()
+            .collect()
+        )
+        index: dict[str, set[str]] = {}
+        m = self.model
+        for row in combos:
+            for pred in {row.qualified_predicate, row.predicate}:
+                pred_anc: set[str | None] = (
+                    set(m.predicate_ancestors(pred)) if pred else set()
+                )
+                pred_anc.add(None)
+                dir_anc: set[str | None] = set(
+                    self._qualifier_ancestors(row.object_direction_qualifier)
+                )
+                dir_anc.add(None)
+                asp_anc: set[str | None] = set(
+                    self._qualifier_ancestors(row.object_aspect_qualifier)
+                )
+                asp_anc.add(None)
+                for p, d, a in itertools.product(pred_anc, dir_anc, asp_anc):
+                    key = f"{p}--{d}--{a}"
+                    if key == "None--None--None":
+                        continue
+                    index.setdefault(key, set()).add(row.conglomerate_predicate)
+        self._conglomerate_index = index
+        return index
+
+    def _qualifier_ancestors(self, value: str | None) -> list[str]:
+        if value is None:
+            return []
+        out = [value]
+        seen = {value}
+        cur = self.model.qualifier_value_parents.get(value)
+        while cur is not None and cur not in seen:
+            out.append(cur)
+            seen.add(cur)
+            cur = self.model.qualifier_value_parents.get(cur)
+        return out
+
+    def _consider_bidirectional(self, predicate: str, qg_predicates: set[str]) -> bool:
+        """F4 decision — exact parity with plover.py:2629-2652."""
+        m = self.model
+        if "--" in predicate:
+            predicate = predicate.split("--")[0]
+        qg_preds = {p.split("--")[0] for p in qg_predicates}
+        if predicate in qg_preds:
+            return m.is_symmetric(predicate)
+        if qg_preds and all(m.is_symmetric(p) for p in qg_preds):
+            return True
+        ancestors = set(m.predicate_ancestors(predicate, include_self=False))
+        if any(m.is_symmetric(p) for p in ancestors & qg_preds):
+            return True
+        return m.is_symmetric(predicate)
+
+    def _expanded_predicates(self, qedge: dict) -> tuple[bool, dict[str, bool]]:
+        """R3/J6/J8 (plover.py:2704-2776): returns (use_conglomerate,
+        {matchable predicate or conglomerate -> consider_bidirectional})."""
+        m = self.model
+        if qedge.get("qualifier_constraints"):
+            qg_congl: set[str] = set()
+            for qc in qedge.get("qualifier_constraints", []):
+                quals = {
+                    q["qualifier_type_id"]: q["qualifier_value"]
+                    for q in qc.get("qualifier_set", [])
+                }
+                unknown = set(quals) - SUPPORTED_QUALIFIERS
+                if unknown:
+                    raise QueryError(
+                        403,
+                        f"Unsupported qualifier(s): {sorted(unknown)}. Supported: "
+                        f"{sorted(SUPPORTED_QUALIFIERS)}",
+                    )
+                qpred = quals.get("biolink:qualified_predicate")
+                direction = quals.get("biolink:object_direction_qualifier")
+                aspect = quals.get("biolink:object_aspect_qualifier")
+                preds = qedge.get("predicates")
+                if preds and not qpred:
+                    for p in _as_list(preds):
+                        qg_congl.add(f"{p}--{direction}--{aspect}")
+                else:
+                    qg_congl.add(f"{qpred}--{direction}--{aspect}")
+            index = self._conglomerate_descendant_index()
+            expanded = {
+                desc for c in qg_congl for desc in index.get(c, set())
+            }
+            return True, {
+                e: self._consider_bidirectional(e, qg_congl) for e in expanded
+            }
+        preds_raw = set(_as_list(qedge.get("predicates"))) or {
+            "biolink:related_to"
+        }
+        preds = preds_raw | set(m.replace_predicate_mixins(sorted(preds_raw)))
+        expanded = {
+            d for p in preds for d in m.predicate_descendants(p)
+        }
+        return False, {
+            e: self._consider_bidirectional(e, preds) for e in expanded
+        }
+
+    def _canonical_qg_flip(self, qg: dict) -> dict:
+        """R2 (plover.py:2662-2694): if ALL user predicates are
+        non-canonical, flip the qedge and canonicalize; mixing canonical
+        and non-canonical -> 400."""
+        qedge_key = next(iter(qg["edges"]))
+        qedge = qg["edges"][qedge_key]
+        preds = _as_list(qedge.get("predicates"))
+        qpreds = [
+            q["qualifier_value"]
+            for qc in qedge.get("qualifier_constraints", [])
+            for q in qc.get("qualifier_set", [])
+            if q["qualifier_type_id"] == "biolink:qualified_predicate"
+        ]
+        all_preds = preds + qpreds
+        if not all_preds:
+            return qg
+        canonical = [p for p in all_preds if self.model.is_canonical(p)]
+        non_canonical = [p for p in all_preds if not self.model.is_canonical(p)]
+        if not non_canonical:
+            return qg
+        if canonical:
+            raise QueryError(
+                400,
+                "Bad Request. Mixing canonical and non-canonical predicates in "
+                "one query edge is not supported.",
+            )
+        import copy
+
+        qg = copy.deepcopy(qg)
+        qedge = qg["edges"][qedge_key]
+        qedge["subject"], qedge["object"] = qedge["object"], qedge["subject"]
+        if qedge.get("predicates"):
+            qedge["predicates"] = [
+                self.model.canonical_form(p) for p in _as_list(qedge["predicates"])
+            ]
+        for qc in qedge.get("qualifier_constraints", []):
+            for q in qc.get("qualifier_set", []):
+                if q["qualifier_type_id"] == "biolink:qualified_predicate":
+                    q["qualifier_value"] = self.model.canonical_form(
+                        q["qualifier_value"]
+                    )
+        return qg
+
+    def _expanded_output_categories(self, qnode: dict) -> list[str]:
+        """J7 (plover.py:2614-2627): mixin replacement + descendants;
+        default root NamedThing."""
+        m = self.model
+        cats = set(_as_list(qnode.get("categories"))) or {"biolink:NamedThing"}
+        cats = set(m.replace_category_mixins(sorted(cats)))
+        return sorted({d for c in cats for d in m.category_descendants(c)})
+
+    # ------------------------------------------------------------------
+    # distributed lookup
+    # ------------------------------------------------------------------
+
+    def expand_with_subclasses(self, qnode_key: str, ids: list[str]) -> DataFrame:
+        """J5 (plover.py:1834-1865): ids -> (query_id, node_id) including
+        transitive subclass descendants, with provenance.  Self-pairs win
+        over descendant provenance; ties broken by min(query_id).
+
+        Driver-map fast path when the closure fits the size guard: the
+        expansion is bounded (<=5,000 descendants/parent, closure.py), so
+        the pair list stays query-sized and costs no Spark actions.
+        """
+        closure_map = self._get_closure_map()
+        if closure_map is not None:
+            pairs: dict[str, str] = {}
+            for qid in sorted(ids):
+                for desc in closure_map.get(qid, []):
+                    if desc not in pairs:
+                        pairs[desc] = qid
+            for qid in ids:
+                pairs[qid] = qid  # self-binding wins
+            return self._tiny_df(
+                [(q, n) for n, q in pairs.items()], "query_id string, node_id string"
+            )
+        ids_df = self._tiny_df([(i,) for i in ids], "query_id string")
+        closure = self.kg.subclass_closure
+        desc = (
+            ids_df.join(
+                closure, ids_df.query_id == closure.ancestor, "inner"
+            )
+            .select("query_id", F.col("descendant").alias("node_id"))
+        )
+        self_pairs = ids_df.select("query_id", F.col("query_id").alias("node_id"))
+        all_pairs = self_pairs.unionByName(desc)
+        # one query_id per node: prefer self-binding, then min for determinism
+        return (
+            all_pairs.groupBy("node_id")
+            .agg(
+                F.min(
+                    F.when(F.col("query_id") == F.col("node_id"), F.lit("0"))
+                    .otherwise(F.lit("1"))
+                    .alias("rank")
+                ).alias("__rank"),
+                F.min(
+                    F.when(F.col("query_id") != F.col("node_id"), F.col("query_id"))
+                ).alias("__desc_qid"),
+            )
+            .withColumn(
+                "query_id",
+                F.when(F.col("__rank") == "0", F.col("node_id")).otherwise(
+                    F.col("__desc_qid")
+                ),
+            )
+            .select("query_id", "node_id")
+        )
+
+    def lookup(self, qg: dict) -> tuple[CompiledQEdge, DataFrame]:
+        """Compile + execute the one-hop lookup; returns the compiled edge
+        metadata and the answer-edge DataFrame with columns:
+        edge id + payload, input_id, output_id, input_query_id,
+        output_query_id."""
+        qg = self._canonical_qg_flip(qg)
+        qedge_key = next(iter(qg["edges"]))
+        qedge = qg["edges"][qedge_key]
+        qnodes = qg["nodes"]
+
+        subj_key, obj_key = qedge["subject"], qedge["object"]
+        ids_by_key = {
+            k: _as_list(qnodes[k].get("ids") or qnodes[k].get("id"))
+            for k in (subj_key, obj_key)
+        }
+        if not ids_by_key[subj_key] and not ids_by_key[obj_key]:
+            raise QueryError(
+                400,
+                "Bad Request. At least one query node must have 'ids' specified.",
+            )
+        # R4 (plover.py:2593-2612): input side = more ids
+        if len(ids_by_key[subj_key]) >= len(ids_by_key[obj_key]):
+            input_key, output_key = subj_key, obj_key
+        else:
+            input_key, output_key = obj_key, subj_key
+        if not ids_by_key[input_key]:
+            input_key, output_key = output_key, input_key
+        input_is_subject = input_key == subj_key
+
+        use_congl, pred_map = self._expanded_predicates(qedge)
+        directed = {p for p, bidir in pred_map.items() if not bidir}
+        bidirectional = {p for p, bidir in pred_map.items() if bidir}
+
+        compiled = CompiledQEdge(
+            qedge_key=qedge_key,
+            input_qnode_key=input_key,
+            output_qnode_key=output_key,
+            input_is_subject=input_is_subject,
+            use_conglomerate=use_congl,
+            directed_predicates=directed,
+            bidirectional_predicates=bidirectional,
+            output_categories=self._expanded_output_categories(qnodes[output_key]),
+            output_ids=ids_by_key[output_key] or None,
+            attribute_constraints=qedge.get("attribute_constraints", []),
+        )
+
+        # R1: canonicalize + J5: subclass-expand the pinned side(s)
+        input_ids = list(
+            dict.fromkeys(
+                self.canonicalize_ids(ids_by_key[input_key]).values()
+            )
+        )
+        input_df = self.expand_with_subclasses(input_key, input_ids)
+
+        bidir = self.kg.edges_bidir
+        match_col = "conglomerate_predicate" if use_congl else "predicate"
+        required_dir = DIR_FORWARD if input_is_subject else DIR_REVERSE
+
+        if not directed and not bidirectional:
+            # e.g. qualifier combo with no matching conglomerate predicate
+            # in the KG -> provably empty answer
+            return compiled, bidir.limit(0).join(
+                self.spark.createDataFrame(
+                    [],
+                    "node_id string, input_query_id string",
+                ),
+                on="node_id",
+                how="inner",
+            ).withColumn("output_query_id", F.lit(None).cast("string")).withColumnRenamed(
+                "node_id", "input_id"
+            ).withColumnRenamed("neighbor_id", "output_id")
+
+        pred_filter = F.col(match_col).isin(sorted(bidirectional))
+        if directed:
+            pred_filter = pred_filter | (
+                F.col(match_col).isin(sorted(directed))
+                & (F.col("direction") == required_dir)
+            )
+
+        matched = bidir.join(
+            F.broadcast(
+                input_df.select(
+                    F.col("node_id"),
+                    F.col("query_id").alias("input_query_id"),
+                )
+            ),
+            on="node_id",
+        ).where(pred_filter)
+
+        if compiled.output_ids:
+            out_ids = list(
+                dict.fromkeys(
+                    self.canonicalize_ids(compiled.output_ids).values()
+                )
+            )
+            output_df = self.expand_with_subclasses(output_key, out_ids)
+            matched = matched.join(
+                F.broadcast(
+                    output_df.select(
+                        F.col("node_id").alias("neighbor_id"),
+                        F.col("query_id").alias("output_query_id"),
+                    )
+                ),
+                on="neighbor_id",
+            )
+        else:
+            # F1: category filter only when output is unpinned
+            matched = matched.where(
+                F.arrays_overlap(
+                    F.col("neighbor_categories"),
+                    F.lit(compiled.output_categories).cast("array<string>"),
+                )
+            ).withColumn("output_query_id", F.lit(None).cast("string"))
+
+        # F3: attribute constraints
+        matched = apply_attribute_constraints(
+            matched, compiled.attribute_constraints
+        )
+
+        matched = (
+            matched.withColumnRenamed("node_id", "input_id")
+            .withColumnRenamed("neighbor_id", "output_id")
+            .persist()  # reused by cutoff check, hydration, and grouping
+        )
+
+        # F5: answer-size guard (plover.py:2051-2058) — hard 403, no
+        # truncation. limit(cutoff+1) bounds the work of the check.
+        if self.answer_cutoff is not None:
+            over = matched.limit(self.answer_cutoff + 1).count()
+            if over > self.answer_cutoff:
+                matched.unpersist()
+                raise QueryError(
+                    403,
+                    f"Answer is too large: more than {self.answer_cutoff} edges "
+                    "match. Please refine your query.",
+                )
+        return compiled, matched
+
+    # ------------------------------------------------------------------
+    # validation / dispatch
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def normalize_envelope(query: dict) -> dict:
+        """plover.py:1792-1794: accept bare QGs or full TRAPI messages."""
+        if "message" in query:
+            return query["message"]["query_graph"]
+        if "query_graph" in query:
+            return query["query_graph"]
+        return query
+
+    def validate(self, qg: dict) -> None:
+        """F7 shape guards (plover.py:1809-1832)."""
+        edges = qg.get("edges", {})
+        if len(edges) > 1:
+            raise QueryError(
+                400,
+                f"Bad Request. Only single-edge queries are supported; your "
+                f"query graph has {len(edges)} edges.",
+            )
+        for qedge in edges.values():
+            for qc in qedge.get("qualifier_constraints", []):
+                for q in qc.get("qualifier_set", []):
+                    if q["qualifier_type_id"] not in SUPPORTED_QUALIFIERS:
+                        raise QueryError(
+                            403,
+                            f"Unsupported qualifier: {q['qualifier_type_id']}.",
+                        )
+
+    def single_node_lookup(self, qg: dict) -> tuple[str, DataFrame]:
+        """R5 (plover.py:2778-2817): edgeless query -> id(+subclass) lookup."""
+        qnodes = qg["nodes"]
+        if len(qnodes) != 1:
+            raise QueryError(
+                400,
+                f"Bad Request. Edgeless queries can only involve a single "
+                f"query node. Your QG has {len(qnodes)} nodes.",
+            )
+        qnode_key = next(iter(qnodes))
+        ids = _as_list(qnodes[qnode_key].get("ids") or qnodes[qnode_key].get("id"))
+        if not ids:
+            raise QueryError(
+                400,
+                "Bad Request. For qnode-only queries, the qnode must have "
+                "'ids' specified.",
+            )
+        canon = list(dict.fromkeys(self.canonicalize_ids(ids).values()))
+        expanded = self.expand_with_subclasses(qnode_key, canon)
+        found = expanded.join(
+            self.kg.nodes.select(F.col("id").alias("node_id")), on="node_id"
+        )
+        return qnode_key, found

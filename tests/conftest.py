@@ -10,5 +10,10 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("ploverdb_spark_tests")
+    # Low shuffle parallelism: test data is tiny and task-scheduling
+    # overhead dominates otherwise. Scale configs live in get_spark.
+    s = get_spark(
+        "ploverdb_spark_tests",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
     yield s

@@ -1,0 +1,466 @@
+"""Engine-level semantic tests mirroring the reference's E2E suite
+(reference test/test_kg2c.py — same query-graph matrix, asserted against a
+synthetic fixture KG per FIXTURES.md §6 instead of a live endpoint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ploverdb_spark.build.ingest import build_knowledge_graph
+from ploverdb_spark.query.compiler import QueryError, TrapiEngine
+from ploverdb_spark.query.response import get_edges, get_neighbors, run_query
+from ploverdb_spark.sources.kgx import KgxConfig
+
+NODES = [
+    # id, name, all_categories, equivalent_curies, publications
+    ("DIS:parent", "parent disease", ["biolink:Disease"], [], []),
+    ("DIS:child", "child disease", ["biolink:Disease"], [], []),
+    ("DIS:grandchild", "grandchild disease", ["biolink:Disease"], [], []),
+    ("CHEM:1", "chem one", ["biolink:SmallMolecule"], ["CHEM:alias1", "CHEM:1"], []),
+    ("CHEM:2", "chem two", ["biolink:Drug"], [], []),
+    ("GENE:1", "gene one", ["biolink:Gene"], [], []),
+    ("GENE:2", "gene two", ["biolink:Gene"], [], []),
+    # pre-expanded ancestors: engine must reduce to most-specific
+    (
+        "MIXED:1",
+        "mixed node",
+        ["biolink:Disease", "biolink:DiseaseOrPhenotypicFeature", "biolink:BiologicalEntity"],
+        [],
+        [],
+    ),
+]
+
+EDGES = [
+    # id, subject, object, predicate, qualified_predicate,
+    # object_direction_qualifier, object_aspect_qualifier,
+    # primary_knowledge_source, knowledge_level, agent_type, publications
+    ("e_sub1", "DIS:child", "DIS:parent", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    ("e_sub2", "DIS:grandchild", "DIS:child", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    ("e1", "CHEM:1", "DIS:parent", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", ["PMID:1", "PMID:2"]),
+    ("e2", "CHEM:1", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", ["PMID:3"]),
+    ("e3", "GENE:1", "GENE:2", "biolink:interacts_with", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    # stored non-canonical: must flip to CHEM:2 treats DIS:child at build
+    ("e4", "DIS:child", "CHEM:2", "biolink:treated_by", None, None, None, "infores:src2", "knowledge_assertion", "manual_agent", []),
+    ("e5", "CHEM:1", "GENE:1", "biolink:affects", "biolink:causes", "increased", "activity", "infores:src1", "knowledge_assertion", "manual_agent", []),
+    ("e6", "CHEM:2", "GENE:1", "biolink:affects", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    nodes = spark.createDataFrame(
+        NODES,
+        "id string, name string, all_categories array<string>, "
+        "equivalent_curies array<string>, publications array<string>",
+    )
+    edges = spark.createDataFrame(
+        EDGES,
+        "id string, subject string, object string, predicate string, "
+        "qualified_predicate string, object_direction_qualifier string, "
+        "object_aspect_qualifier string, primary_knowledge_source string, "
+        "knowledge_level string, agent_type string, publications array<string>",
+    )
+    kg = build_knowledge_graph(nodes, edges, KgxConfig()).persist()
+    return TrapiEngine(kg, kp_infores_curie="infores:test-kp")
+
+
+def one_hop(subj_spec, obj_spec, pred=None, qualifier_constraints=None, attribute_constraints=None):
+    qedge = {"subject": "n00", "object": "n01"}
+    if pred is not None:
+        qedge["predicates"] = pred if isinstance(pred, list) else [pred]
+    if qualifier_constraints:
+        qedge["qualifier_constraints"] = qualifier_constraints
+    if attribute_constraints:
+        qedge["attribute_constraints"] = attribute_constraints
+    return {"nodes": {"n00": subj_spec, "n01": obj_spec}, "edges": {"e00": qedge}}
+
+
+def answer_sets(resp):
+    kg = resp["message"]["knowledge_graph"]
+    return set(kg["nodes"].keys()), set(kg["edges"].keys())
+
+
+# -- basic one-hop (ref test_kg2c.py:26-45) -------------------------------
+
+def test_simple_one_hop(engine):
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
+    )
+    nodes, edges = answer_sets(resp)
+    assert edges == {"e1", "e2"}
+    assert nodes == {"CHEM:1", "DIS:parent", "DIS:grandchild"}
+    results = resp["message"]["results"]
+    assert all("node_bindings" in r and "analyses" in r for r in results)
+
+
+def test_unconstrained_predicate_and_category(engine):
+    resp = run_query(engine, one_hop({"ids": ["CHEM:1"]}, {}))
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2", "e5"}
+
+
+# -- direction semantics (ref test_kg2c.py:220-306) ------------------------
+
+def test_symmetric_predicate_reverse_direction(engine):
+    # e3 stored GENE:1->GENE:2; querying from GENE:2 must still find it
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["GENE:2"]}, {"categories": ["biolink:Gene"]}, "biolink:interacts_with"),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e3"}
+
+
+def test_asymmetric_predicate_forward_only(engine):
+    # DIS:parent treats X -> nothing (treats edges point chem->disease)
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["DIS:parent"], "categories": None}, {"categories": ["biolink:SmallMolecule"]}, "biolink:treats"),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == set()
+
+
+def test_asymmetric_predicate_reverse_binding(engine):
+    # QG with disease as qedge *object* (leaf: no subclass descendants):
+    # the treats edge pointing AT it is found, bound in reverse
+    qg = {
+        "nodes": {"n00": {"categories": ["biolink:ChemicalEntity"]}, "n01": {"ids": ["DIS:grandchild"]}},
+        "edges": {"e00": {"subject": "n00", "object": "n01", "predicates": ["biolink:treats"]}},
+    }
+    resp = run_query(engine, qg)
+    _, edges = answer_sets(resp)
+    assert edges == {"e2"}
+
+
+# -- canonical predicate handling (ref test_kg2c.py:344-387) ---------------
+
+def test_noncanonical_edge_flipped_at_build(engine):
+    e4 = engine.kg.edges.where(F.col("id") == "e4").collect()[0]
+    assert e4.predicate == "biolink:treats"
+    assert e4.subject == "CHEM:2"
+    assert e4.object == "DIS:child"
+
+
+def test_noncanonical_query_flipped(engine):
+    # treated_by from the disease side == treats from the chem side
+    qg = {
+        "nodes": {"n00": {"ids": ["DIS:child"]}, "n01": {"categories": ["biolink:Drug"]}},
+        "edges": {"e00": {"subject": "n00", "object": "n01", "predicates": ["biolink:treated_by"]}},
+    }
+    resp = run_query(engine, qg)
+    _, edges = answer_sets(resp)
+    assert edges == {"e4"}
+
+
+def test_mixed_canonical_noncanonical_rejected(engine):
+    qg = one_hop({"ids": ["CHEM:1"]}, {}, ["biolink:treats", "biolink:treated_by"])
+    with pytest.raises(QueryError) as exc:
+        run_query(engine, qg)
+    assert exc.value.status == 400
+
+
+# -- hierarchy reasoning (ref test_kg2c.py:390-434) ------------------------
+
+def test_predicate_hierarchy_expansion(engine):
+    # treats_or_applied_or_studied_to_treat expands to descendant treats
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats_or_applied_or_studied_to_treat",
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2"}
+
+
+def test_category_hierarchy_expansion(engine):
+    # DiseaseOrPhenotypicFeature output category includes Disease nodes
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:DiseaseOrPhenotypicFeature"]},
+            "biolink:treats",
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2"}
+
+
+# -- subclass reasoning (ref test_kg2c.py:437-467, 739-757) ----------------
+
+def test_subclass_expansion_with_query_id(engine):
+    # edges attached to descendants of DIS:parent are found; bindings
+    # carry query_id provenance
+    qg = {
+        "nodes": {"n00": {"categories": ["biolink:ChemicalEntity"]}, "n01": {"ids": ["DIS:parent"]}},
+        "edges": {"e00": {"subject": "n00", "object": "n01", "predicates": ["biolink:treats"]}},
+    }
+    resp = run_query(engine, qg)
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2", "e4"}  # parent, grandchild, child (via e4 flip)
+    bindings = [
+        b
+        for r in resp["message"]["results"]
+        for b in r["node_bindings"]["n01"]
+    ]
+    by_id = {b["id"]: b for b in bindings}
+    assert by_id["DIS:parent"].get("query_id") is None
+    assert by_id["DIS:grandchild"]["query_id"] == "DIS:parent"
+    assert by_id["DIS:child"]["query_id"] == "DIS:parent"
+
+
+def test_most_specific_category_reduction(engine):
+    row = engine.kg.nodes.where(F.col("id") == "MIXED:1").collect()[0]
+    assert row.categories == ["biolink:Disease"]
+
+
+# -- id canonicalization (R1/J4) ------------------------------------------
+
+def test_equivalent_id_rewrite(engine):
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:alias1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2"}
+
+
+# -- qualifiers (ref test_kg2c.py:470-633) ---------------------------------
+
+def _qual_constraint(qpred=None, direction=None, aspect=None):
+    qs = []
+    if qpred:
+        qs.append({"qualifier_type_id": "biolink:qualified_predicate", "qualifier_value": qpred})
+    if direction:
+        qs.append({"qualifier_type_id": "biolink:object_direction_qualifier", "qualifier_value": direction})
+    if aspect:
+        qs.append({"qualifier_type_id": "biolink:object_aspect_qualifier", "qualifier_value": aspect})
+    return [{"qualifier_set": qs}]
+
+
+def test_qualified_predicate_match(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Gene"]},
+            None,
+            qualifier_constraints=_qual_constraint("biolink:causes", "increased"),
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e5"}
+
+
+def test_qualified_predicate_wrong_direction_empty(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Gene"]},
+            None,
+            qualifier_constraints=_qual_constraint("biolink:causes", "decreased"),
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == set()
+
+
+def test_regular_predicate_fallback_matches_qualified_edges(engine):
+    # gene pinned as qedge *object* (affects is asymmetric): plain
+    # 'affects' matches both the qualified (e5) and unqualified (e6) edges
+    qg = {
+        "nodes": {"n00": {"categories": ["biolink:ChemicalEntity"]}, "n01": {"ids": ["GENE:1"]}},
+        "edges": {"e00": {"subject": "n00", "object": "n01", "predicates": ["biolink:affects"]}},
+    }
+    resp = run_query(engine, qg)
+    _, edges = answer_sets(resp)
+    assert edges == {"e5", "e6"}
+
+
+def test_asymmetric_from_subject_side_empty(engine):
+    # GENE:1 as qedge subject with asymmetric 'affects': edges point AT
+    # the gene, so forward-only matching yields nothing
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["GENE:1"]}, {"categories": ["biolink:ChemicalEntity"]}, "biolink:affects"),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == set()
+
+
+def test_unsupported_qualifier_rejected(engine):
+    qg = one_hop(
+        {"ids": ["CHEM:1"]},
+        {},
+        None,
+        qualifier_constraints=[{"qualifier_set": [{"qualifier_type_id": "biolink:species_context_qualifier", "qualifier_value": "human"}]}],
+    )
+    with pytest.raises(QueryError) as exc:
+        run_query(engine, qg)
+    assert exc.value.status == 403
+
+
+# -- attribute constraints (F3) --------------------------------------------
+
+def test_attribute_constraint_equality(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[{"id": "knowledge_level", "operator": "==", "value": "knowledge_assertion"}],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1"}
+
+
+def test_attribute_constraint_not(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[{"id": "knowledge_level", "operator": "==", "value": "knowledge_assertion", "not": True}],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e2"}
+
+
+def test_attribute_constraint_list_any_semantics(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[{"id": "publications", "operator": "==", "value": "PMID:3"}],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e2"}
+
+
+def test_knowledge_source_pseudo_attribute(engine):
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[{"id": "knowledge_source", "operator": "==", "value": "infores:src2"}],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e2"}
+
+
+# -- shape guards / errors (ref test_kg2c.py:202-217) ----------------------
+
+def test_multi_edge_rejected(engine):
+    qg = {
+        "nodes": {"n0": {"ids": ["CHEM:1"]}, "n1": {}, "n2": {}},
+        "edges": {
+            "e0": {"subject": "n0", "object": "n1"},
+            "e1": {"subject": "n1", "object": "n2"},
+        },
+    }
+    with pytest.raises(QueryError) as exc:
+        run_query(engine, qg)
+    assert exc.value.status == 400
+
+
+def test_no_ids_rejected(engine):
+    with pytest.raises(QueryError) as exc:
+        run_query(engine, one_hop({"categories": ["biolink:Disease"]}, {}))
+    assert exc.value.status == 400
+
+
+def test_answer_cutoff(engine):
+    small = TrapiEngine(engine.kg, answer_cutoff=1)
+    with pytest.raises(QueryError) as exc:
+        run_query(small, one_hop({"ids": ["CHEM:1"]}, {}))
+    assert exc.value.status == 403
+
+
+# -- edgeless queries (ref test_kg2c.py:174-199) ---------------------------
+
+def test_single_node_query(engine):
+    resp = run_query(engine, {"nodes": {"n00": {"ids": ["DIS:parent"]}}, "edges": {}})
+    nodes, _ = answer_sets(resp)
+    assert nodes == {"DIS:parent", "DIS:child", "DIS:grandchild"}
+    bindings = resp["message"]["results"][0]["node_bindings"]["n00"]
+    by_id = {b["id"]: b.get("query_id") for b in bindings}
+    assert by_id["DIS:child"] == "DIS:parent"
+
+
+def test_single_node_query_no_ids_rejected(engine):
+    with pytest.raises(QueryError) as exc:
+        run_query(engine, {"nodes": {"n00": {"categories": ["biolink:Disease"]}}, "edges": {}})
+    assert exc.value.status == 400
+
+
+# -- is_set grouping (ref test_kg2c.py:636-681) ----------------------------
+
+def test_is_set_grouping(engine):
+    qg = one_hop(
+        {"ids": ["CHEM:1", "CHEM:2"], "is_set": True},
+        {"categories": ["biolink:Disease"]},
+        "biolink:treats",
+    )
+    resp = run_query(engine, qg)
+    results = resp["message"]["results"]
+    # input collapsed to '*': one result per distinct output node
+    assert len(results) == 3
+    qg["nodes"]["n01"]["is_set"] = True
+    resp2 = run_query(engine, qg)
+    assert len(resp2["message"]["results"]) == 1
+
+
+# -- TRAPI structural invariants (ref plover_tester.py:42-103) -------------
+
+def test_response_structure(engine):
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
+    )
+    kg = resp["message"]["knowledge_graph"]
+    for edge in kg["edges"].values():
+        roles = {s["resource_role"] for s in edge["sources"]}
+        assert "primary_knowledge_source" in roles
+        attr_ids = {a["attribute_type_id"] for a in edge["attributes"]}
+        assert "biolink:knowledge_level" in attr_ids
+        assert "biolink:agent_type" in attr_ids
+        assert isinstance(edge["attributes"], list)
+    for node in kg["nodes"].values():
+        assert isinstance(node["attributes"], list)
+        assert isinstance(node["categories"], list)
+
+
+# -- /edges and /neighbors (ref test_kg2c.py:721-736) ----------------------
+
+def test_get_edges_pairs(engine):
+    out = get_edges(engine, [["CHEM:1", "DIS:parent"], ["DIS:parent", "CHEM:1"], ["CHEM:1", "GENE:2"]])
+    assert out["pairs_to_edge_ids"]["CHEM:1--DIS:parent"] == ["e1"]
+    assert out["pairs_to_edge_ids"]["DIS:parent--CHEM:1"] == ["e1"]  # pair symmetry
+    assert out["pairs_to_edge_ids"]["CHEM:1--GENE:2"] == []
+    assert "e1" in out["knowledge_graph"]["edges"]
+
+
+def test_get_neighbors(engine):
+    out = get_neighbors(engine, ["GENE:1"], predicates=["biolink:interacts_with"])
+    assert out["GENE:1"] == ["GENE:2"]
+    # asymmetric: CHEM:1 -treats-> diseases, forward only
+    out2 = get_neighbors(engine, ["CHEM:1", "DIS:parent"], predicates=["biolink:treats"])
+    assert set(out2["CHEM:1"]) == {"DIS:parent", "DIS:grandchild"}
+    assert out2["DIS:parent"] == []  # reverse direction excluded
