@@ -47,8 +47,12 @@ def transitive_closure(
     spark = parent_child.sparkSession
     num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # Static side partitioned once on the join key and cached: every
-    # iteration reuses this layout instead of re-shuffling.
+    # iteration reuses this layout instead of re-shuffling.  All
+    # intermediates are unpersisted before returning — leaked cache
+    # entries otherwise accumulate across closure builds in one session.
+    intermediates = []
     edges = edges.repartition(num_parts, "ancestor").persist()
+    intermediates.append(edges)
     edges.count()  # materialize before the loop
 
     closure = edges.withColumn("depth", F.lit(1))
@@ -76,6 +80,7 @@ def transitive_closure(
             on=["ancestor", "descendant"],
             how="left_anti",
         ).persist()
+        intermediates.append(frontier)
         if frontier.isEmpty():
             break
         closure = closure.unionByName(frontier)
@@ -83,6 +88,7 @@ def transitive_closure(
             # Truncate lineage: local[,] has no HDFS checkpoint dir, so
             # persist + count is the pragmatic equivalent.
             closure = closure.persist()
+            intermediates.append(closure)
             closure.count()
 
     closure = closure.dropDuplicates(["ancestor", "descendant"])
@@ -97,6 +103,12 @@ def transitive_closure(
             .select("ancestor")
         )
         closure = closure.join(F.broadcast(big), on="ancestor", how="left_anti")
+
+    # Materialize the result, then release every intermediate cache.
+    closure = closure.persist()
+    closure.count()
+    for df in intermediates:
+        df.unpersist()
     return closure
 
 

@@ -106,7 +106,12 @@ def graft_engine(spark: SparkSession, sf_dir: str) -> TrapiEngine:
     if key not in _ENGINE_CACHE:
         nodes, edges = build_graft_nodes_edges(spark, sf_dir)
         kg = build_knowledge_graph(nodes, edges, KgxConfig()).persist()
-        _ENGINE_CACHE[key] = TrapiEngine(kg, kp_infores_curie="infores:graft-kp")
+        # cutoff disabled: the F5 guard costs one extra count action per
+        # lookup, and these catalog queries return bounded answer sets by
+        # construction (production engines keep the 1M default).
+        _ENGINE_CACHE[key] = TrapiEngine(
+            kg, kp_infores_curie="infores:graft-kp", answer_cutoff=None
+        )
     return _ENGINE_CACHE[key]
 
 
@@ -178,7 +183,7 @@ def j2_one_hop_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         },
     }
-    _, answers = eng.lookup(qg)
+    _, answers = eng.lookup(qg, persist_answers=False)
     # subclass expansion of N:x pulls customer descendants, but no
     # located_in edge targets a customer, so the answer set matches the
     # plain SQL join; category filter excludes supplier edges.
@@ -214,7 +219,7 @@ def j5_subclass_expanded_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         },
     }
-    _, answers = eng.lookup(qg)
+    _, answers = eng.lookup(qg, persist_answers=False)
     return answers.select("id", "input_id", "input_query_id", "output_id")
 
 

@@ -81,11 +81,13 @@ class TrapiEngine:
     # process memory, plover.py:692-695).  Above it, distributed joins.
     DRIVER_MAP_MAX_ROWS = 2_000_000
 
+    _UNSET = object()  # sentinel: answer_cutoff=None means "no cutoff"
+
     def __init__(
         self,
         kg: KnowledgeGraph,
         kp_infores_curie: str = "infores:ploverdb-spark",
-        answer_cutoff: int | None = None,
+        answer_cutoff: int | None | object = _UNSET,
         driver_map_max_rows: int | None = None,
     ):
         self.kg = kg
@@ -93,9 +95,9 @@ class TrapiEngine:
         self.model = kg.model
         self.kp_infores_curie = kp_infores_curie
         self.answer_cutoff = (
-            answer_cutoff
-            if answer_cutoff is not None
-            else kg.config.num_edges_per_answer_cutoff
+            kg.config.num_edges_per_answer_cutoff
+            if answer_cutoff is TrapiEngine._UNSET
+            else answer_cutoff
         )
         self._conglomerate_index: dict[str, set[str]] | None = None
         self._driver_map_max_rows = (
@@ -384,11 +386,18 @@ class TrapiEngine:
             .select("query_id", "node_id")
         )
 
-    def lookup(self, qg: dict) -> tuple[CompiledQEdge, DataFrame]:
+    def lookup(
+        self, qg: dict, persist_answers: bool = True
+    ) -> tuple[CompiledQEdge, DataFrame]:
         """Compile + execute the one-hop lookup; returns the compiled edge
         metadata and the answer-edge DataFrame with columns:
         edge id + payload, input_id, output_id, input_query_id,
-        output_query_id."""
+        output_query_id.
+
+        ``persist_answers=True`` caches the answer set for the multi-pass
+        response assembly (run_query unpersists it).  Single-pass callers
+        should pass False to avoid leaking cache entries.
+        """
         qg = self._canonical_qg_flip(qg)
         qedge_key = next(iter(qg["edges"]))
         qedge = qg["edges"][qedge_key]
@@ -503,18 +512,20 @@ class TrapiEngine:
             matched, compiled.attribute_constraints
         )
 
-        matched = (
-            matched.withColumnRenamed("node_id", "input_id")
-            .withColumnRenamed("neighbor_id", "output_id")
-            .persist()  # reused by cutoff check, hydration, and grouping
+        matched = matched.withColumnRenamed("node_id", "input_id").withColumnRenamed(
+            "neighbor_id", "output_id"
         )
+        if persist_answers:
+            # reused by cutoff check, hydration, and grouping
+            matched = matched.persist()
 
         # F5: answer-size guard (plover.py:2051-2058) — hard 403, no
         # truncation. limit(cutoff+1) bounds the work of the check.
         if self.answer_cutoff is not None:
             over = matched.limit(self.answer_cutoff + 1).count()
             if over > self.answer_cutoff:
-                matched.unpersist()
+                if persist_answers:
+                    matched.unpersist()
                 raise QueryError(
                     403,
                     f"Answer is too large: more than {self.answer_cutoff} edges "
