@@ -104,9 +104,12 @@ def transitive_closure(
         )
         closure = closure.join(F.broadcast(big), on="ancestor", how="left_anti")
 
-    # Materialize the result, then release every intermediate cache.
-    closure = closure.persist()
-    closure.count()
+    # Materialize the result with lineage truncation (localCheckpoint
+    # stores the computed partitions and forgets the iterative plan), then
+    # release every intermediate cache.  Returning a *persisted* result
+    # instead would leak one cache entry per closure build — callers
+    # decide the serving cache policy (KnowledgeGraph.persist).
+    closure = closure.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
     return closure

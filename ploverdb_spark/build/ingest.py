@@ -51,28 +51,26 @@ class KnowledgeGraph:
         """Cache the hot serving tables (analog of the reference's
         fully-in-memory serving stance, README.md:213).
 
-        Each table is hash-repartitioned on its join key first: query-time
-        joins then reuse the cached partitioning instead of re-shuffling,
-        and tiny build-side frames (which inherit defaultParallelism-many
-        partitions from createDataFrame) stop fanning every query into
-        hundreds of near-empty tasks.
+        Materialization runs in DEPENDENCY ORDER (nodes -> edges -> the
+        derived tables): edges_bidir and subclass_closure are built FROM
+        nodes/edges, so counting the parents first means each derived
+        table computes from cache instead of re-running the whole ingest
+        pipeline once per artifact.  ``build_knowledge_graph`` already
+        lays the tables out on their join keys; ``persist`` only marks +
+        materializes, it never re-assigns (re-assignment would strand the
+        derived plans' references to the pre-swap objects).
         """
-        spark = self.edges.sparkSession
-        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self.edges_bidir = self.edges_bidir.repartition(n, "node_id").persist()
-        self.nodes = self.nodes.repartition(n, "id").persist()
-        self.subclass_closure = (
-            self.subclass_closure.repartition(n, "ancestor").persist()
+        ordered = (
+            self.nodes,
+            self.edges,
+            self.edges_bidir,
+            self.subclass_closure,
+            self.id_synonyms,
         )
-        self.id_synonyms = self.id_synonyms.repartition(n, "alias_id").persist()
-        self.edges = self.edges.persist()
+        for df in ordered:
+            df.persist()  # no-op if already marked by the build
         if materialize:
-            for df in (
-                self.edges_bidir,
-                self.nodes,
-                self.subclass_closure,
-                self.id_synonyms,
-            ):
+            for df in ordered:
                 df.count()
         return self
 
@@ -238,6 +236,8 @@ def build_knowledge_graph(
     config = config or KgxConfig()
     model = model or default_model()
     cat_prop = category_prop or config.node_category_property
+    spark = nodes_raw.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     nodes = nodes_raw
     if cat_prop != "categories":
@@ -246,15 +246,21 @@ def build_knowledge_graph(
         else:  # scalar category property -> single-element array
             nodes = nodes.withColumn(cat_prop, F.array(F.col(cat_prop)))
         nodes = reduce_to_most_specific_categories(nodes, model, cat_prop)
+    # Persist NOW, before any derived plan references nodes: edges
+    # (integrity join), edges_bidir (category denormalization), and
+    # synonyms all read it, and without a shared cache each artifact
+    # re-runs the category-reduction pipeline from the source.
+    nodes = nodes.repartition(n, "id").persist()
 
     synonyms = build_id_synonyms(nodes, config) if config.convert_input_ids else (
-        nodes.sparkSession.createDataFrame([], "alias_id string, preferred_id string")
+        spark.createDataFrame([], "alias_id string, preferred_id string")
     )
 
     edges = flip_noncanonical_edges(edges_raw, model)
     edges = referential_integrity(edges, nodes, is_test=config.is_test)
+    edges = edges.persist()  # feeds bidir, closure, and direct serving
 
-    bidir = build_edges_bidir(edges, nodes)
+    bidir = build_edges_bidir(edges, nodes).repartition(n, "node_id")
 
     closure = transitive_closure(subclass_edges(edges)).select("ancestor", "descendant")
 

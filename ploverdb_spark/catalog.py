@@ -111,4 +111,12 @@ def _ensure_loaded() -> None:
         from ploverdb_spark.queries import pipeline  # noqa: F401
     except ImportError:
         pass
+    try:
+        from ploverdb_spark.queries import semantics  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from ploverdb_spark.queries import windows  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

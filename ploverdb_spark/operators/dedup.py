@@ -119,28 +119,63 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Band the signature and self-join on (band, key): docs agreeing on
-    all hashes within any band become candidate pairs (a < b)."""
+    """Docs agreeing on all hashes within any band become candidate pairs
+    (a < b).
+
+    Shape matters here: a per-band UNION followed by a self-join would
+    evaluate the (expensive) signature plan once per band per join side —
+    Catalyst does not dedupe common subplans.  Instead all band keys are
+    emitted in ONE projection (array of structs -> explode), and pairs are
+    generated inside each bucket via groupBy + collect_list: the signature
+    plan runs exactly once and the only shuffle is the bucket groupBy.
+    Bucket sizes are bounded by LSH design (similar docs only); a
+    pathological hot bucket needs key salting upstream — see module doc.
+    """
     bands = num_hashes // band_size
-    band_rows = None
-    for b in range(bands):
-        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        row = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
-    left = band_rows.select(
-        "band", "band_key", F.col(id_col).alias("doc_a")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"minhash_{i}")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    right = band_rows.select(
-        "band", "band_key", F.col(id_col).alias("doc_b")
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    # all a<b combinations within a bucket: ids is sorted, so pairing each
+    # element with its strict successors preserves doc_a < doc_b
     return (
-        left.join(right, on=["band", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD, DIR_REVERSE, KnowledgeGraph
+from ploverdb_spark.functions.localdf import tiny_df
 from ploverdb_spark.query.constraints import apply_attribute_constraints
 
 SUPPORTED_QUALIFIERS = {
@@ -137,10 +138,10 @@ class TrapiEngine:
     # ------------------------------------------------------------------
 
     def _tiny_df(self, data, schema: str) -> DataFrame:
-        """Query-sized literal DataFrame in ONE partition — createDataFrame
-        otherwise spreads a handful of rows over defaultParallelism
-        partitions, turning every downstream stage into empty-task spam."""
-        return self.spark.createDataFrame(data, schema).coalesce(1)
+        """Query-sized literal DataFrame, JVM-side (functions.localdf):
+        one partition, no Python-worker round trips — the hot serving path
+        must not pay createDataFrame's pickled-RDD execution cost."""
+        return tiny_df(self.spark, data, schema)
 
     def canonicalize_ids(self, ids: list[str]) -> dict[str, str]:
         """R1/J4 (plover.py:1797-1804): map query ids through the synonym

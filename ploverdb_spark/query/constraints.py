@@ -44,6 +44,55 @@ _PHASE_TO_NUM = {name: num for num, name in TRIAL_PHASES.items()}
 
 _OPS = {"==", "<", ">", "<=", ">=", "==="}
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+# Outcomes of adapting a constraint literal to a column's type.  The
+# reference compares Python values: == on mismatched types is just False
+# (so 'not' still applies), while </>/<=/>= raise TypeError, which fails
+# the whole constraint BEFORE 'not' (plover.py:2580-2584).  Our columns
+# are schema-typed, so the same decision is made from the schema.
+_OK = "ok"
+_EQ_FALSE = "eq_false"  # comparison is constant-False; 'not' applies
+_FAIL = "fail"  # constraint fails outright; 'not' does NOT apply
+
+
+def _adapt_scalar(raw, coerced, elem_type: str, op: str):
+    """Fit one constraint literal to the column element type."""
+    mismatch = _EQ_FALSE if op in ("==", "===") else _FAIL
+    if elem_type == "string":
+        # schema says string: compare the raw (uncoerced) literal
+        return (_OK, raw) if isinstance(raw, str) else (mismatch, None)
+    if elem_type == "boolean":
+        return (_OK, coerced) if isinstance(coerced, bool) else (mismatch, None)
+    if elem_type in _NUMERIC_TYPES:
+        if isinstance(coerced, (int, float)) and not isinstance(coerced, bool):
+            return (_OK, coerced)
+        return (mismatch, None)
+    return (_OK, coerced)  # other types: pass through
+
+
+def _adapt_value(raw, elem_type: str, op: str):
+    """Adapt a scalar-or-list constraint value; returns (kind, value).
+
+    List semantics mirror the reference's any() matching: for ==, elements
+    that cannot match are dropped; for ordering ops one incompatible
+    element fails the constraint (TypeError parity)."""
+    if isinstance(raw, list):
+        out = []
+        for r in raw:
+            r = _phase_normalize(r)
+            kind, v = _adapt_scalar(r, _load_scalar(r), elem_type, op)
+            if kind == _FAIL:
+                return _FAIL, None
+            if kind == _EQ_FALSE:
+                continue
+            out.append(v)
+        if not out:
+            return _EQ_FALSE, None
+        return _OK, out
+    raw = _phase_normalize(raw)
+    return _adapt_scalar(raw, _load_scalar(raw), elem_type, op)
+
 
 def _load_scalar(value: Any) -> Any:
     """Reference ``_load_value`` (plover.py:458-471) for constraint
@@ -136,11 +185,6 @@ def compile_constraint(
         logger.warning("Unsupported constraint operator %r; ignoring constraint", op)
         return F.lit(True)
 
-    if isinstance(value, list):
-        value = [_load_scalar(_phase_normalize(v)) for v in value]
-    else:
-        value = _load_scalar(_phase_normalize(value))
-
     # knowledge_source pseudo-attribute: match any source-role column
     if cid == "knowledge_source":
         candidates = [
@@ -160,16 +204,24 @@ def compile_constraint(
     dtypes = dict(df.dtypes)
     parts: list[Column] = []
     for col_name in candidates:
-        is_array = dtypes[col_name].startswith("array")
+        dt = dtypes[col_name]
+        is_array = dt.startswith("array")
         col = F.col(col_name)
-        if is_array and dtypes[col_name].startswith("array<struct"):
+        if is_array and dt.startswith("array<struct"):
             continue  # zipped attributes handled by nested path
-        cmp = _compare(col, is_array, op, value)
-        # Type errors fail the comparison (reference catches TypeError);
-        # null comparison results are treated as failed via coalesce.
+        elem_type = dt[6:-1] if is_array else dt
+        kind, adapted = _adapt_value(value, elem_type, op)
+        if kind == _FAIL:
+            parts.append(F.lit(False))  # TypeError parity: 'not' ignored
+            continue
+        if kind == _EQ_FALSE:
+            cmp = F.lit(False)
+        else:
+            cmp = F.coalesce(
+                _compare(col, is_array, op, adapted), F.lit(False)
+            )
         # 'not' applies per-attribute, inside the presence check: the
         # attribute must exist AND its (whole-value) comparison negate.
-        cmp = F.coalesce(cmp, F.lit(False))
         per_attr = (~cmp) if is_not else cmp
         parts.append(col.isNotNull() & per_attr)
     if not parts:
@@ -178,33 +230,40 @@ def compile_constraint(
 
 
 def compile_nested_single(
-    df: DataFrame, col_name: str, field_names: list[str], constraint: dict
+    df: DataFrame, col_name: str, field_names: dict[str, str], constraint: dict
 ) -> Column:
     cid, op = constraint["id"], constraint["operator"]
     is_not = bool(constraint.get("not"))
     value = constraint["value"]
     if op not in _OPS:
         return F.lit(True)
-    if isinstance(value, list):
-        value = [_load_scalar(_phase_normalize(v)) for v in value]
-    else:
-        value = _load_scalar(_phase_normalize(value))
     if cid not in field_names:
         return F.lit(False)  # absent sub-attribute never fulfills
 
+    kind, adapted = _adapt_value(value, field_names[cid], op)
+    if kind == _FAIL:
+        return F.lit(False)
+
     def sub_meets(x: Column) -> Column:
-        cmp = F.coalesce(_compare(x[cid], False, op, value), F.lit(False))
+        if kind == _EQ_FALSE:
+            cmp = F.lit(False)
+        else:
+            cmp = F.coalesce(_compare(x[cid], False, op, adapted), F.lit(False))
         per_attr = (~cmp) if is_not else cmp
         return x[cid].isNotNull() & per_attr
 
     return F.coalesce(F.exists(F.col(col_name), sub_meets), F.lit(False))
 
 
-def _struct_fields(df: DataFrame, col_name: str) -> list[str]:
+def _struct_fields(df: DataFrame, col_name: str) -> dict[str, str]:
+    """field name -> simple dtype string for an array<struct<...>> column."""
     for f in df.schema.fields:
         if f.name == col_name:
-            return [sf.name for sf in f.dataType.elementType.fields]
-    return []
+            return {
+                sf.name: sf.dataType.simpleString()
+                for sf in f.dataType.elementType.fields
+            }
+    return {}
 
 
 def apply_attribute_constraints(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD
+from ploverdb_spark.functions.localdf import tiny_df
 from ploverdb_spark.query.compiler import CompiledQEdge, QueryError, TrapiEngine
 
 CORE_NODE_PROPS = {"id", "name", "categories", "all_categories"}
@@ -317,10 +318,11 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
     spark = engine.spark
     flat_ids = sorted({i for p in pairs for i in p})
     canon = engine.canonicalize_ids(flat_ids)
-    pairs_df = spark.createDataFrame(
+    pairs_df = tiny_df(
+        spark,
         [(canon.get(a, a), canon.get(b, b), a, b) for a, b in pairs],
         "node_a string, node_b string, orig_a string, orig_b string",
-    ).coalesce(1)
+    )
     e = engine.kg.edges
     fwd = e.join(
         F.broadcast(pairs_df),
@@ -350,7 +352,7 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
     }
     nodes = {}
     if node_ids:
-        nid_df = spark.createDataFrame([(n,) for n in node_ids], "nid string").coalesce(1)
+        nid_df = tiny_df(spark, [(n,) for n in node_ids], "nid string")
         node_rows = engine.kg.nodes.join(
             F.broadcast(nid_df), engine.kg.nodes.id == F.col("nid"), "left_semi"
         ).collect()
@@ -396,9 +398,11 @@ def get_neighbors(
         )
 
     canon = engine.canonicalize_ids(node_ids)
-    ids_df = engine.spark.createDataFrame(
-        [(canon.get(i, i), i) for i in node_ids], "node_id string, orig_id string"
-    ).coalesce(1)
+    ids_df = tiny_df(
+        engine.spark,
+        [(canon.get(i, i), i) for i in node_ids],
+        "node_id string, orig_id string",
+    )
     bidir = engine.kg.edges_bidir
     matched = (
         bidir.join(F.broadcast(ids_df), on="node_id")
