@@ -189,6 +189,58 @@ def conglomerate_predicate_col() -> F.Column:
     )
 
 
+def normalize_and_merge_edges(
+    edges: DataFrame, synonyms: DataFrame
+) -> DataFrame:
+    """P8 + A4 (reference plover.py:1092-1111): remap edge endpoints
+    through the preferred-id map, re-key each edge as
+    ``subject--predicate--object--primary_source``, and merge edges that
+    collide on the new key: array properties become the sorted distinct
+    union, scalar properties take the minimum.
+
+    The reference keeps the *first-seen* scalar, which is input-stream-
+    order-dependent; a distributed engine has no stream order, so min() is
+    the deterministic stand-in (any stable choice is equally faithful).
+    Join strategy is left to Catalyst/AQE — the synonym table is
+    data-sized, not always broadcast-sized.
+    """
+    syn_s = synonyms.select(
+        F.col("alias_id").alias("subject"), F.col("preferred_id").alias("__ps")
+    )
+    syn_o = synonyms.select(
+        F.col("alias_id").alias("object"), F.col("preferred_id").alias("__po")
+    )
+    e = (
+        edges.join(syn_s, on="subject", how="left")
+        .join(syn_o, on="object", how="left")
+        .withColumn("subject", F.coalesce("__ps", "subject"))
+        .withColumn("object", F.coalesce("__po", "object"))
+        .drop("__ps", "__po")
+    )
+    source = (
+        F.coalesce(F.col("primary_knowledge_source"), F.lit(""))
+        if "primary_knowledge_source" in e.columns
+        else F.lit("")
+    )
+    e = e.withColumn(
+        "id", F.concat_ws("--", F.col("subject"), F.col("predicate"), F.col("object"), source)
+    )
+    group_cols = ["id", "subject", "predicate", "object"]
+    aggs = []
+    for c, t in e.dtypes:
+        if c in group_cols:
+            continue
+        if t.startswith("array"):
+            aggs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(c)))
+                ).alias(c)
+            )
+        else:
+            aggs.append(F.min(c).alias(c))
+    return e.groupBy(*group_cols).agg(*aggs)
+
+
 def build_edges_bidir(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """The query-serving table: each edge twice (forward + reverse) with
     the traversal key first and the neighbor's categories denormalized in.

@@ -154,6 +154,9 @@ _PREDICATES: dict[str, PredicateInfo] = {
         canonical=False,
     ),
     # Synthetic-KG predicates (TPC-H-derived graph).
+    "graft:adjacent_to": PredicateInfo(
+        "biolink:related_to_at_instance_level", symmetric=True
+    ),
     "graft:located_in": PredicateInfo("biolink:related_to_at_instance_level"),
     "graft:part_of_region": PredicateInfo("biolink:related_to_at_instance_level"),
     "graft:placed_by": PredicateInfo("biolink:related_to_at_instance_level"),

@@ -49,11 +49,24 @@ def build_graft_nodes_edges(
             F.array(F.lit(category)).alias("all_categories"),
         )
 
+    # Customer nodes carry an equivalent-identifier alias (CUSTX:<k>) so the
+    # id-synonym map (J4/R1) is non-empty and alias queries round-trip.
+    customer_nodes = customer.select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_name").cast("string").alias("name"),
+        F.array(F.lit("graft:Customer")).alias("all_categories"),
+        F.array(
+            F.concat(F.lit("CUSTX:"), F.col("c_custkey").cast("string"))
+        ).alias("equivalent_identifiers"),
+    )
     nodes = (
         node(region, "R:", "r_regionkey", "r_name", "graft:Region")
         .unionByName(node(nation, "N:", "n_nationkey", "n_name", "graft:Nation"))
-        .unionByName(node(customer, "C:", "c_custkey", "c_name", "graft:Customer"))
-        .unionByName(node(supplier, "S:", "s_suppkey", "s_name", "graft:Supplier"))
+        .unionByName(customer_nodes, allowMissingColumns=True)
+        .unionByName(
+            node(supplier, "S:", "s_suppkey", "s_name", "graft:Supplier"),
+            allowMissingColumns=True,
+        )
         .unionByName(
             orders.select(
                 F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("id"),
@@ -61,7 +74,8 @@ def build_graft_nodes_edges(
                     "name"
                 ),
                 F.array(F.lit("graft:Order")).alias("all_categories"),
-            )
+            ),
+            allowMissingColumns=True,
         )
     )
 
@@ -114,6 +128,27 @@ def build_graft_nodes_edges(
         )
         .unionByName(
             edge(nation, "esn:", "n_nationkey", "N:", "n_nationkey", "biolink:subclass_of", "R:", "n_regionkey")
+        )
+        # nation-adjacency chain under a SYMMETRIC predicate (F4 coverage):
+        # ea:k connects N:k -- N:k+1
+        .unionByName(
+            nation.alias("a")
+            .join(
+                nation.alias("b"),
+                F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1,
+            )
+            .select(
+                F.concat(F.lit("ea:"), F.col("a.n_nationkey").cast("string")).alias("id"),
+                F.concat(F.lit("N:"), F.col("a.n_nationkey").cast("string")).alias("subject"),
+                F.concat(F.lit("N:"), F.col("b.n_nationkey").cast("string")).alias("object"),
+                F.lit("graft:adjacent_to").alias("predicate"),
+                F.lit("infores:graft").alias("primary_knowledge_source"),
+                F.lit(None).cast("string").alias("order_status"),
+                F.lit(None).cast("double").alias("totalprice"),
+                F.lit(None).cast("string").alias("qualified_predicate"),
+                F.lit(None).cast("string").alias("object_direction_qualifier"),
+                F.lit(None).cast("string").alias("object_aspect_qualifier"),
+            )
         )
     )
     return nodes, edges
@@ -344,6 +379,9 @@ def j11_batch_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'graft:Nation', 'biolink:subclass_of', 'graft:Region', COUNT(*)
     FROM nation
+    UNION ALL
+    SELECT 'graft:Nation', 'graft:adjacent_to', 'graft:Nation', COUNT(*)
+    FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
     """,
     doc="Meta-knowledge-graph aggregation (SURVEY §2.4 A1, "
     "plover.py:1139-1229): edges joined to both endpoint categories, "

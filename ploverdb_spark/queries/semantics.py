@@ -14,11 +14,15 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import (
     flip_noncanonical_edges,
+    normalize_and_merge_edges,
     reduce_to_most_specific_categories,
 )
+from ploverdb_spark.build.meta_kg import test_triples
 from ploverdb_spark.catalog import load, register
+from ploverdb_spark.functions.localdf import tiny_df
 from ploverdb_spark.ontology.biolink_lite import default_model
 from ploverdb_spark.queries.graph import _CLOSURE_SQL, graft_engine
+from ploverdb_spark.sources.kgx import zip_properties
 
 
 @register(
@@ -235,6 +239,217 @@ def a6_result_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("output_id")).alias("output_ids"),
         )
     )
+
+
+@register(
+    "f4_symmetric_lookup",
+    oracle="""
+    SELECT 'ea:' || CAST(a.n_nationkey AS VARCHAR) AS id,
+           'N:5' AS input_id,
+           CASE WHEN a.n_nationkey = 5
+                THEN 'N:' || CAST(b.n_nationkey AS VARCHAR)
+                ELSE 'N:' || CAST(a.n_nationkey AS VARCHAR) END AS output_id
+    FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+    WHERE a.n_nationkey = 5 OR b.n_nationkey = 5
+    """,
+    doc="Symmetric-predicate direction semantics (SURVEY §2.5 F4, "
+    "plover.py:2629-2652): graft:adjacent_to is symmetric, so a pinned "
+    "node matches edges in BOTH directions (N:5 finds its ea:4 incoming "
+    "and ea:5 outgoing neighbors).",
+)
+def f4_symmetric_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = graft_engine(spark, sf_dir)
+    qg = {
+        "nodes": {
+            "n00": {"ids": ["N:5"]},
+            "n01": {"categories": ["graft:Nation"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:adjacent_to"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    return answers.select("id", "input_id", "output_id")
+
+
+@register(
+    "j4_alias_lookup",
+    oracle="""
+    SELECT 'ecl:' || CAST(c_custkey AS VARCHAR) AS id,
+           'C:' || CAST(c_custkey AS VARCHAR) AS input_id,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS output_id
+    FROM customer WHERE c_custkey IN (3, 7)
+    """,
+    doc="Equivalent-id rewrite (SURVEY §2.3 J4 / §2.6 R1, "
+    "plover.py:1797-1804): the query uses CUSTX: alias CURIEs; the synonym "
+    "map (built from equivalent_identifiers at ingest) canonicalizes them "
+    "to the preferred C: ids before the lookup.",
+)
+def j4_alias_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = graft_engine(spark, sf_dir)
+    qg = {
+        "nodes": {
+            "n00": {"ids": ["CUSTX:3", "CUSTX:7"]},
+            "n01": {"categories": ["graft:Nation"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    return answers.select("id", "input_id", "output_id")
+
+
+@register(
+    "a4_normalize_merge",
+    oracle="""
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) || '--graft:located_in--N:'
+             || CAST(c_nationkey AS VARCHAR) || '--infores:graft' AS id,
+           'C:' || CAST(c_custkey AS VARCHAR) AS subject,
+           'graft:located_in' AS predicate,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS object,
+           ['srcA', 'srcB'] AS sources,
+           'va' AS note
+    FROM customer
+    """,
+    doc="Normalization edge merge (SURVEY §2.2 P8 + §2.4 A4, "
+    "plover.py:1092-1111): duplicate edges (one via an alias subject) "
+    "collapse onto the re-keyed id after the preferred-id rewrite; array "
+    "props union, scalar props take the deterministic minimum.",
+)
+def a4_normalize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+
+    def variant(subj_prefix: str, src: str, note: str) -> DataFrame:
+        return customer.select(
+            F.concat(F.lit("e:"), F.col("c_custkey").cast("string"), F.lit(src)).alias("id"),
+            F.concat(F.lit(subj_prefix), F.col("c_custkey").cast("string")).alias("subject"),
+            F.concat(F.lit("N:"), F.col("c_nationkey").cast("string")).alias("object"),
+            F.lit("graft:located_in").alias("predicate"),
+            F.lit("infores:graft").alias("primary_knowledge_source"),
+            F.array(F.lit(src)).alias("sources"),
+            F.lit(note).alias("note"),
+        )
+
+    edges = variant("CUSTX:", "srcA", "vb").unionByName(variant("C:", "srcB", "va"))
+    synonyms = customer.select(
+        F.concat(F.lit("CUSTX:"), F.col("c_custkey").cast("string")).alias("alias_id"),
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("preferred_id"),
+    )
+    merged = normalize_and_merge_edges(edges, synonyms)
+    return merged.select("id", "subject", "predicate", "object", "sources", "note")
+
+
+@register(
+    "p4_zip_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS partkey,
+           CAST(l_quantity AS DOUBLE) AS quantity
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    doc="Zipped properties (SURVEY §2.2 P4, plover.py:796-810): parallel "
+    "arrays (linenumber-ordered partkeys/quantities per order) zip into "
+    "one ARRAY<STRUCT> property via the ingest operator, then explode "
+    "back to scalars — the round trip proves the nested layout.",
+)
+def p4_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    # ONE sorted struct list feeds both arrays — two independently-sorted
+    # lists would misalign under duplicate sort keys
+    arrs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "l_quantity")
+                )
+            ).alias("__rows")
+        )
+        .select(
+            "l_orderkey",
+            F.transform(F.col("__rows"), lambda x: x["l_partkey"]).alias("parts"),
+            F.transform(F.col("__rows"), lambda x: x["l_quantity"]).alias("qtys"),
+        )
+    )
+    zipped = zip_properties(
+        arrs, {"items": {"properties": ["parts", "qtys"], "leader": "parts"}}
+    )
+    return zipped.select("l_orderkey", F.explode("items").alias("it")).select(
+        "l_orderkey",
+        F.col("it.parts").alias("partkey"),
+        F.col("it.qtys").cast("double").alias("quantity"),
+    )
+
+
+@register(
+    "a2_test_triples",
+    oracle="""
+    WITH e AS (
+      SELECT 'ecl:' || CAST(c_custkey AS VARCHAR) AS id,
+             'C:' || CAST(c_custkey AS VARCHAR) AS subject,
+             'graft:located_in' AS predicate,
+             'N:' || CAST(c_nationkey AS VARCHAR) AS object,
+             'graft:Customer' AS sc, 'graft:Nation' AS oc
+      FROM customer
+      UNION ALL
+      SELECT 'esl:' || CAST(s_suppkey AS VARCHAR),
+             'S:' || CAST(s_suppkey AS VARCHAR), 'graft:located_in',
+             'N:' || CAST(s_nationkey AS VARCHAR),
+             'graft:Supplier', 'graft:Nation'
+      FROM supplier
+      UNION ALL
+      SELECT 'enr:' || CAST(n_nationkey AS VARCHAR),
+             'N:' || CAST(n_nationkey AS VARCHAR), 'graft:part_of_region',
+             'R:' || CAST(n_regionkey AS VARCHAR),
+             'graft:Nation', 'graft:Region'
+      FROM nation
+      UNION ALL
+      SELECT 'eop:' || CAST(o_orderkey AS VARCHAR),
+             'O:' || CAST(o_orderkey AS VARCHAR), 'graft:placed_by',
+             'C:' || CAST(o_custkey AS VARCHAR),
+             'graft:Order', 'graft:Customer'
+      FROM orders
+      UNION ALL
+      SELECT 'esc:' || CAST(c_custkey AS VARCHAR),
+             'C:' || CAST(c_custkey AS VARCHAR), 'biolink:subclass_of',
+             'N:' || CAST(c_nationkey AS VARCHAR),
+             'graft:Customer', 'graft:Nation'
+      FROM customer
+      UNION ALL
+      SELECT 'esn:' || CAST(n_nationkey AS VARCHAR),
+             'N:' || CAST(n_nationkey AS VARCHAR), 'biolink:subclass_of',
+             'R:' || CAST(n_regionkey AS VARCHAR),
+             'graft:Nation', 'graft:Region'
+      FROM nation
+      UNION ALL
+      SELECT 'ea:' || CAST(a.n_nationkey AS VARCHAR),
+             'N:' || CAST(a.n_nationkey AS VARCHAR), 'graft:adjacent_to',
+             'N:' || CAST(b.n_nationkey AS VARCHAR),
+             'graft:Nation', 'graft:Nation'
+      FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+    )
+    SELECT sc AS subject_category, predicate, oc AS object_category,
+           MIN_BY(subject, id) AS subject_id,
+           MIN_BY(object, id) AS object_id
+    FROM e
+    GROUP BY sc, predicate, oc
+    """,
+    doc="SRI test triples (SURVEY §2.4 A2, plover.py:1156-1163): one "
+    "deterministic example edge per meta-triple via min_by on edge id "
+    "(the reference keeps stream-order-first; min is the distributed "
+    "equivalent).",
+)
+def a2_test_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = graft_engine(spark, sf_dir)
+    return test_triples(eng.kg)
 
 
 @register(
