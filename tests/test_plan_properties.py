@@ -65,3 +65,76 @@ def test_partial_aggregation(spark):
     df = get("a1_pricing_summary").fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_d2_signature_plan_runs_once(spark):
+    # the LSH restructure exists to evaluate the (expensive) MinHash
+    # signature plan exactly once: one parquet scan of documents per
+    # doubled-corpus branch, not one per band or join side
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("d2_minhash_lsh_pairs").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # "(n) Scan parquet" detail entries = distinct scan nodes (the tree
+    # rendering repeats each node, so a plain substring count over-counts)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2, plan
+
+
+def test_w1_sessionize_single_shuffle(spark):
+    # both windows and the session groupBy cluster on user_id: exactly one
+    # exchange — a second one means the shared partitioning regressed
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("w1_sessionize").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchanges) == 1, plan
+
+
+def test_j12_asof_no_cartesian(spark):
+    # the as-of join has an equi-key (user == custkey); the range condition
+    # must ride as a join residual, never force a nested-loop/cartesian
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("j12_asof_last_order").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trapi_lookup_broadcasts_input(spark):
+    # the one-hop serving path must broadcast the query-literal side and
+    # never sort-merge against the cached edge table
+    from ploverdb_spark.plans.checks import (
+        count_broadcast_joins,
+        count_sort_merge_joins,
+    )
+    from ploverdb_spark.queries.graph import graft_engine
+
+    eng = graft_engine(spark, SF_ORACLE)
+    qg = {
+        "nodes": {
+            "n00": {"categories": ["graft:Customer"]},
+            "n01": {"ids": ["N:0", "N:1", "N:2"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    # only the plan ABOVE the first cache node executes — the cached
+    # build lineage (which legitimately sort-merges) is display-only
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    serving = formatted_plan(answers).split("InMemoryRelation", 1)[0]
+    assert "BroadcastHashJoin" in serving, serving
+    assert "SortMergeJoin" not in serving, serving
