@@ -115,6 +115,44 @@ def transitive_closure(
     return closure
 
 
+def closure_report(closure: DataFrame, top_n: int = 50) -> dict:
+    """A7 (reference plover.py:1666-1715): descendant-count statistics,
+    top-N largest parents, and a CURIE-prefix histogram — build-time
+    diagnostics, collected driver-side (ontology-sized)."""
+    counts = closure.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_descendants")
+    )
+    stats_row = counts.agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.avg("n_descendants").alias("mean"),
+        F.max("n_descendants").alias("max"),
+        F.expr("percentile_approx(n_descendants, 0.5)").alias("median"),
+    ).collect()[0]
+    top = [
+        (r.ancestor, r.n_descendants)
+        for r in counts.orderBy(
+            F.col("n_descendants").desc(), F.col("ancestor")
+        ).limit(top_n).collect()
+    ]
+    prefixes = {
+        r.prefix: r.n
+        for r in closure.select(
+            F.split(F.col("ancestor"), ":").getItem(0).alias("prefix")
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "n_parents": stats_row.n_parents,
+        "mean_descendants": stats_row.mean,
+        "max_descendants": stats_row.max,
+        "median_descendants": stats_row.median,
+        "top_parents": top,
+        "prefix_histogram": prefixes,
+    }
+
+
 def subclass_edges(
     edges: DataFrame,
     subclass_predicates: tuple[str, ...] = ("biolink:subclass_of",),

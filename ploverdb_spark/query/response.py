@@ -258,24 +258,115 @@ def hydrate_knowledge_graph(
     return nodes, edges
 
 
+def _log_entry(level: str, message: str) -> dict:
+    """O4 (plover.py:2826-2843): TRAPI query-log entry."""
+    from datetime import datetime, timezone
+
+    return {
+        "timestamp": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "level": level,
+        "message": message,
+    }
+
+
+def _slim_tuple_response(
+    engine: TrapiEngine, compiled: CompiledQEdge, answers: DataFrame
+) -> dict:
+    """R6, include_metadata=True (plover.py:1878-1893, tuple format):
+    nodes as (name, category, [query_ids]) tuples; edges as
+    (subject, object, predicate, primary_source, qualifiers..., 'False')
+    tuples — Pathfinder back-compat."""
+    rows = answers.collect()
+    in_nodes: dict[str, list] = {}
+    out_nodes: dict[str, list] = {}
+    edges: dict[str, list] = {}
+    node_qids: dict[str, set] = {}
+    for r in rows:
+        d = r.asDict()
+        subj = d["input_id"] if d["direction"] == DIR_FORWARD else d["output_id"]
+        obj = d["output_id"] if d["direction"] == DIR_FORWARD else d["input_id"]
+        edges[str(d["id"])] = [
+            subj,
+            obj,
+            d["predicate"],
+            d.get("primary_knowledge_source"),
+            d.get("qualified_predicate") or "",
+            d.get("object_direction_qualifier") or "",
+            d.get("object_aspect_qualifier") or "",
+            "False",
+        ]
+        for side, nid, qid in (
+            ("in", d["input_id"], d.get("input_query_id")),
+            ("out", d["output_id"], d.get("output_query_id")),
+        ):
+            if qid is not None and qid != nid:
+                node_qids.setdefault(nid, set()).add(qid)
+            (in_nodes if side == "in" else out_nodes).setdefault(nid, None)
+    names = {
+        r["id"]: (r["name"], (r["categories"] or [None])[0])
+        for r in engine.kg.nodes.join(
+            F.broadcast(
+                tiny_df(
+                    engine.spark,
+                    [(n,) for n in {*in_nodes, *out_nodes}],
+                    "nid string",
+                )
+            ),
+            engine.kg.nodes.id == F.col("nid"),
+            "left_semi",
+        ).collect()
+    }
+
+    def node_tuple(nid: str) -> list:
+        name, cat = names.get(nid, (None, None))
+        return [name, cat, sorted(node_qids.get(nid, set()))]
+
+    return {
+        "nodes": {
+            compiled.input_qnode_key: {n: node_tuple(n) for n in in_nodes},
+            compiled.output_qnode_key: {n: node_tuple(n) for n in out_nodes},
+        },
+        "edges": {compiled.qedge_key: edges},
+    }
+
+
 def run_query(engine: TrapiEngine, query: dict) -> dict:
-    """POST /query (plover.py:1788-1932 lifecycle): full TRAPI response."""
+    """POST /query (plover.py:1788-1932 lifecycle): full TRAPI response,
+    or the R6 legacy slim formats when the QG carries include_metadata."""
+    logs = [_log_entry("INFO", "Received query")]
     qg = TrapiEngine.normalize_envelope(query)
     engine.validate(qg)
     if not qg.get("edges"):
         return _run_single_node_query(engine, qg)
     compiled, answers = engine.lookup(qg)  # returned persisted
     try:
+        include_metadata = qg.get("include_metadata")
+        if include_metadata:
+            return _slim_tuple_response(engine, compiled, answers)
+        if include_metadata is False:
+            # ids-only format (plover.py:1894-1901)
+            rows = answers.select("id", "input_id", "output_id").collect()
+            return {
+                "nodes": {
+                    compiled.input_qnode_key: sorted({r.input_id for r in rows}),
+                    compiled.output_qnode_key: sorted({r.output_id for r in rows}),
+                },
+                "edges": {compiled.qedge_key: sorted({str(r["id"]) for r in rows})},
+            }
         nodes, edges = hydrate_knowledge_graph(engine, answers)
         results = assemble_results(answers, compiled, qg, engine.kp_infores_curie)
     finally:
         answers.unpersist()
+    logs.append(
+        _log_entry("INFO", f"Done with query, returning {len(results)} results")
+    )
     return {
         "message": {
             "query_graph": qg,
             "knowledge_graph": {"nodes": nodes, "edges": edges},
             "results": results,
-        }
+        },
+        "logs": logs,
     }
 
 

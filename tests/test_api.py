@@ -1,0 +1,215 @@
+"""API dispatch layer + R6 slim output modes over the graft KG."""
+
+from __future__ import annotations
+
+import pytest
+
+from ploverdb_spark.api import KpRegistry, handle
+from ploverdb_spark.queries.graph import graft_engine
+from tests.conftest import SF_SMOKE
+
+QG = {
+    "nodes": {
+        "n00": {"categories": ["graft:Customer"]},
+        "n01": {"ids": ["N:0"]},
+    },
+    "edges": {
+        "e00": {
+            "subject": "n00",
+            "object": "n01",
+            "predicates": ["graft:located_in"],
+        }
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    reg = KpRegistry()
+    reg.register("graft", graft_engine(spark, SF_SMOKE))
+    return reg
+
+
+def test_query_endpoint(registry):
+    status, body = handle(registry, "query", {"message": {"query_graph": QG}})
+    assert status == 200
+    assert body["message"]["results"]
+    kg = body["message"]["knowledge_graph"]
+    assert all(e["predicate"] == "graft:located_in" for e in kg["edges"].values())
+    assert body["logs"]
+
+
+def test_slim_tuple_mode(registry):
+    qg = {**QG, "include_metadata": True}
+    status, body = handle(registry, "query", qg)
+    assert status == 200
+    assert set(body) == {"nodes", "edges"}
+    edges = body["edges"]["e00"]
+    assert edges
+    for tup in edges.values():
+        assert len(tup) == 8 and tup[2] == "graft:located_in" and tup[7] == "False"
+    # node tuples: (name, category, query_ids)
+    n01 = body["nodes"]["n01"]
+    assert "N:0" in n01 and n01["N:0"][1] == "graft:Nation"
+
+
+def test_ids_only_mode(registry):
+    qg = {**QG, "include_metadata": False}
+    status, body = handle(registry, "query", qg)
+    assert status == 200
+    assert isinstance(body["nodes"]["n01"], list)
+    assert body["nodes"]["n01"] == ["N:0"]
+    assert all(isinstance(e, str) for e in body["edges"]["e00"])
+
+
+def test_edges_endpoint(registry):
+    status, body = handle(registry, "edges", {"pairs": [["C:1", "N:22"]]})
+    assert status == 200
+    assert "pairs_to_edge_ids" in body and "C:1--N:22" in body["pairs_to_edge_ids"]
+
+
+def test_neighbors_endpoint(registry):
+    # default predicates = biolink:related_to (symmetric root), so reverse
+    # located_in edges count as neighbors — parity with the reference's
+    # /neighbors defaults (main.py:246-247)
+    status, body = handle(
+        registry,
+        "neighbors",
+        {"node_ids": ["N:0"], "categories": ["graft:Customer"]},
+    )
+    assert status == 200
+    assert body["N:0"] and all(n.startswith("C:") for n in body["N:0"])
+
+    # asymmetric predicate + reverse-only edges -> empty (F4 semantics)
+    status, body = handle(
+        registry,
+        "neighbors",
+        {
+            "node_ids": ["N:0"],
+            "categories": ["graft:Customer"],
+            "predicates": ["graft:located_in"],
+        },
+    )
+    assert status == 200 and body["N:0"] == []
+
+
+def test_meta_kg_endpoint(registry):
+    status, body = handle(registry, "meta_knowledge_graph")
+    assert status == 200
+    triples = {(e["subject"], e["predicate"], e["object"]) for e in body["edges"]}
+    assert ("graft:Customer", "graft:located_in", "graft:Nation") in triples
+    assert body["nodes"]["graft:Customer"]["id_prefixes"] == ["C"]
+
+
+def test_sri_test_triples_endpoint(registry):
+    status, body = handle(registry, "sri_test_triples")
+    assert status == 200
+    key = "graft:Customer--graft:located_in--graft:Nation"
+    assert key in body and body[key]["subject_id"].startswith("C:")
+
+
+def test_ops_endpoints(registry):
+    assert handle(registry, "healthcheck")[0] == 200
+    status, body = handle(registry, "code_version")
+    assert status == 200 and body["endpoints"] == ["graft"]
+    status, logs = handle(registry, "get_logs", {"num_lines": 5})
+    assert status == 200 and isinstance(logs, list)
+
+
+def test_error_statuses(registry):
+    # multi-edge -> 400 (F7)
+    bad = {
+        "nodes": QG["nodes"],
+        "edges": {"e00": QG["edges"]["e00"], "e01": QG["edges"]["e00"]},
+    }
+    assert handle(registry, "query", bad)[0] == 400
+    # unknown qualifier -> 403 (F6)
+    qual = {
+        "nodes": QG["nodes"],
+        "edges": {
+            "e00": {
+                **QG["edges"]["e00"],
+                "qualifier_constraints": [
+                    {
+                        "qualifier_set": [
+                            {
+                                "qualifier_type_id": "biolink:bogus_qualifier",
+                                "qualifier_value": "x",
+                            }
+                        ]
+                    }
+                ],
+            }
+        },
+    }
+    assert handle(registry, "query", qual)[0] == 403
+    # unknown endpoint -> 404
+    assert handle(registry, "query", QG, endpoint="nope")[0] == 404
+    # unknown path -> 404
+    assert handle(registry, "bogus")[0] == 404
+
+
+def test_answer_cutoff_403(spark):
+    from ploverdb_spark.query.compiler import TrapiEngine
+
+    eng = graft_engine(spark, SF_SMOKE)
+    small = TrapiEngine(eng.kg, answer_cutoff=1)
+    reg = KpRegistry()
+    reg.register("small", small)
+    status, body = handle(reg, "query", QG)
+    assert status == 403 and "too large" in body["error"]
+
+
+def test_concurrent_queries(registry):
+    # serving stance: concurrent queries against one session all succeed
+    # (FAIR scheduler; the reference runs 8-16 parallel workers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    qgs = [
+        {
+            "nodes": {
+                "n00": {"categories": ["graft:Customer"]},
+                "n01": {"ids": [f"N:{i}"]},
+            },
+            "edges": {
+                "e00": {
+                    "subject": "n00",
+                    "object": "n01",
+                    "predicates": ["graft:located_in"],
+                }
+            },
+        }
+        for i in range(8)
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        statuses = list(
+            pool.map(lambda qg: handle(registry, "query", qg)[0], qgs)
+        )
+    assert statuses == [200] * 8
+
+
+def test_query_timeout_cancels(registry, spark):
+    # a pathologically slow query must be cancelled at the deadline, not
+    # run to completion (harakiri parity, uwsgi.ini:10)
+    import time
+
+    from ploverdb_spark.api import run_query_with_timeout
+    from ploverdb_spark.query.compiler import QueryError
+
+    eng = registry.engine("graft")
+    t0 = time.perf_counter()
+    with pytest.raises(QueryError) as exc:
+        run_query_with_timeout(eng, QG, timeout_sec=0.001)
+    assert exc.value.status == 504
+    assert time.perf_counter() - t0 < 30
+
+
+def test_closure_report(registry):
+    from ploverdb_spark.build.closure import closure_report
+
+    eng = registry.engine("graft")
+    report = closure_report(eng.kg.subclass_closure)
+    assert report["n_parents"] > 0
+    assert report["max_descendants"] >= report["median_descendants"]
+    assert report["top_parents"][0][1] == report["max_descendants"]
+    assert set(report["prefix_histogram"]) <= {"N", "R"}
