@@ -281,10 +281,15 @@ def build_knowledge_graph(
     config: KgxConfig | None = None,
     model: BiolinkLite | None = None,
     category_prop: str | None = None,
+    provenance_files: list[str] | None = None,
 ) -> KnowledgeGraph:
     """Full build pipeline (reference ``build_indexes``, plover.py:725-1382,
     minus web downloads): categories -> synonyms -> canonical flip ->
-    integrity -> bidir index -> subclass closure."""
+    integrity -> bidir index -> subclass closure.
+
+    ``provenance_files`` injects the synthetic build-provenance node (P9,
+    plover.py:923-932) recording the input file list.
+    """
     config = config or KgxConfig()
     model = model or default_model()
     cat_prop = category_prop or config.node_category_property
@@ -292,6 +297,13 @@ def build_knowledge_graph(
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     nodes = nodes_raw
+    if provenance_files is not None:
+        from ploverdb_spark.sources.kgx import provenance_node
+
+        prov = provenance_node(spark, provenance_files)
+        if cat_prop != "all_categories" and cat_prop not in prov.columns:
+            prov = prov.withColumnRenamed("all_categories", cat_prop)
+        nodes = nodes.unionByName(prov, allowMissingColumns=True)
     if cat_prop != "categories":
         if dict(nodes.dtypes).get(cat_prop, "").startswith("array"):
             pass

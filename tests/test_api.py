@@ -213,3 +213,37 @@ def test_closure_report(registry):
     assert report["max_descendants"] >= report["median_descendants"]
     assert report["top_parents"][0][1] == report["max_descendants"]
     assert set(report["prefix_histogram"]) <= {"N", "R"}
+
+def test_fetch_file_local(tmp_path):
+    from ploverdb_spark.sources.fetch import fetch_file
+
+    src = tmp_path / "src.tsv"
+    src.write_text("id\tname\nX:1\talpha\n")
+    dest = tmp_path / "out" ; dest.mkdir()
+    out = fetch_file(src.as_uri(), str(dest / "fetched.tsv"))
+    assert open(out).read().startswith("id\tname")
+    # failure path: retries then raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        fetch_file(
+            (tmp_path / "missing.tsv").as_uri(),
+            str(dest / "nope.tsv"),
+            max_retries=2,
+            backoff_sec=0.01,
+        )
+
+
+def test_provenance_node_injected(spark):
+    from ploverdb_spark.build.ingest import build_knowledge_graph
+    from ploverdb_spark.queries.graph import build_graft_nodes_edges
+    from ploverdb_spark.sources.kgx import KgxConfig
+    from tests.conftest import SF_SMOKE
+
+    nodes, edges = build_graft_nodes_edges(spark, SF_SMOKE)
+    kg = build_knowledge_graph(
+        nodes, edges, KgxConfig(), provenance_files=["nodes.tsv", "edges.tsv"]
+    )
+    prov = kg.nodes.where(kg.nodes.id == "ploverdb_spark:build").collect()
+    assert len(prov) == 1
+    assert "nodes.tsv" in prov[0]["description"]
