@@ -20,6 +20,36 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.operators.dedup import cosine, quantized_cosine_udf
 
+TOPK_SALT = 16
+
+
+def topk_per_query(scored: DataFrame, k: int, salt: int = TOPK_SALT) -> DataFrame:
+    """Exact two-phase top-k per query_id over (cos desc, neighbor_id asc).
+
+    A single window over query_id funnels EVERY scored row of a query into
+    one partition — at corpus scale that one task is the whole job.  Phase
+    1 takes the local top-k within (query_id, neighbor_id %% salt) groups;
+    any global top-k row necessarily survives its salt group, so phase 2's
+    window sees at most salt*k rows per query.  Results are identical to
+    the one-window form (same tie-break), shuffle volume is bounded.
+    """
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__salt", F.col("neighbor_id") % salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos")
+        )
+    )
+
 
 def brute_force_topk(
     embeddings: DataFrame,
@@ -41,19 +71,7 @@ def brute_force_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", qcos(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("cos", 6).alias("cos"),
-        )
-    )
+    return topk_per_query(scored, k)
 
 
 def ivf_centroids(
@@ -125,13 +143,4 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", qcos(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos")
-        )
-    )
+    return topk_per_query(scored, k)
