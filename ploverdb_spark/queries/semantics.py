@@ -242,6 +242,38 @@ def a6_result_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j3_trapi_doubly_pinned",
+    oracle="""
+    SELECT 'ecl:' || CAST(c_custkey AS VARCHAR) AS id,
+           'C:' || CAST(c_custkey AS VARCHAR) AS input_id,
+           'N:' || CAST(c_nationkey AS VARCHAR) AS output_id
+    FROM customer
+    WHERE c_custkey BETWEEN 1 AND 100 AND c_nationkey <= 11
+    """,
+    doc="Doubly-pinned one-hop (SURVEY §2.3 J3, plover.py:2068-2095): "
+    "BOTH qnodes carry ids, so the neighbor set intersects the pinned "
+    "output ids via a second broadcast join instead of a category filter.",
+)
+def j3_trapi_doubly_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = graft_engine(spark, sf_dir)
+    qg = {
+        "nodes": {
+            "n00": {"ids": [f"C:{i}" for i in range(1, 101)]},
+            "n01": {"ids": [f"N:{i}" for i in range(12)]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    return answers.select("id", "input_id", "output_id")
+
+
+@register(
     "f4_symmetric_lookup",
     oracle="""
     SELECT 'ea:' || CAST(a.n_nationkey AS VARCHAR) AS id,
