@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ploverdb_spark.operators.dedup import cosine, quantized_cosine_udf
+from ploverdb_spark.operators.dedup import quantized_cosine_udf
 
 TOPK_SALT = 16
 

@@ -19,7 +19,6 @@ from ploverdb_spark.build.ingest import (
 )
 from ploverdb_spark.build.meta_kg import test_triples
 from ploverdb_spark.catalog import load, register
-from ploverdb_spark.functions.localdf import tiny_df
 from ploverdb_spark.ontology.biolink_lite import default_model
 from ploverdb_spark.queries.graph import _CLOSURE_SQL, graft_engine
 from ploverdb_spark.sources.kgx import zip_properties

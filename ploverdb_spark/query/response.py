@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD
 from ploverdb_spark.functions.localdf import tiny_df
-from ploverdb_spark.query.compiler import CompiledQEdge, QueryError, TrapiEngine
+from ploverdb_spark.query.compiler import CompiledQEdge, TrapiEngine
 
 CORE_NODE_PROPS = {"id", "name", "categories", "all_categories"}
 CORE_EDGE_PROPS = {
