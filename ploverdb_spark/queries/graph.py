@@ -327,7 +327,7 @@ def j10_edges_between_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS node_id,
            COUNT(*) AS n_neighbors,
-           LIST_SORT(LIST('C:' || CAST(c_custkey AS VARCHAR))) AS neighbors
+           ARRAY_TO_STRING(LIST_SORT(LIST('C:' || CAST(c_custkey AS VARCHAR))), '|') AS neighbors
     FROM customer
     WHERE c_nationkey IN (0, 1, 2, 3, 4)
     GROUP BY c_nationkey
@@ -353,7 +353,7 @@ def j11_batch_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(
             F.count(F.lit(1)).alias("n_neighbors"),
-            F.sort_array(F.collect_set("neighbor_id")).alias("neighbors"),
+            F.array_join(F.sort_array(F.collect_set("neighbor_id")), "|").alias("neighbors"),
         )
     )
 

@@ -162,15 +162,24 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(text) AS content_hash,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies,
-           LIST_SORT(LIST(doc_id)) AS all_ids
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), '|') AS all_ids
     FROM corpus
     GROUP BY md5(text)
     """,
     doc="Exact dedup: hash-groupBy on md5(text) over the doubled corpus "
-    "(map-side partial agg, one shuffle on the hash).",
+    "(map-side partial agg, one shuffle on the hash). The id set is "
+    "'|'-joined so the driver's hasher can canonicalize the row.",
 )
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_doubled_docs(spark, sf_dir))
+    out = D.exact_dedup(_doubled_docs(spark, sf_dir))
+    return out.select(
+        "content_hash",
+        "keep_id",
+        "n_copies",
+        F.array_join(
+            F.transform(F.sort_array("all_ids"), lambda x: x.cast("string")), "|"
+        ).alias("all_ids"),
+    )
 
 
 @register(

@@ -145,13 +145,14 @@ def a2_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           LIST_SORT(LIST(DISTINCT n.n_name)) AS nations
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n.n_name)), '|') AS nations
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY c_mktsegment
     """,
     doc="Category->prefix-set aggregation analog (SURVEY §2.4 A3, "
-    "plover.py:1221-1228): collect_set with sorted output for determinism.",
+    "plover.py:1221-1228): collect_set with sorted output for determinism. "
+    "The set is serialized '|'-joined so the driver's hasher can handle it.",
 )
 def a3_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
@@ -161,7 +162,7 @@ def a3_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations"),
         )
     )
 
@@ -295,7 +296,7 @@ def j3_doubly_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
-           LIST_SORT(LIST(DISTINCT l_partkey)) AS parts
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_partkey)), '|') AS parts
     FROM lineitem
     GROUP BY l_orderkey
     HAVING COUNT(*) >= 5
@@ -309,7 +310,10 @@ def j11_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sort_array(F.collect_set("l_partkey")).alias("parts"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_set("l_partkey")), lambda x: x.cast("string")),
+                "|",
+            ).alias("parts"),
         )
         .where(F.col("n_lines") >= 5)
     )

@@ -49,8 +49,8 @@ def r5_single_node_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'X:' || CAST(c_custkey AS VARCHAR) AS id,
            CASE WHEN c_custkey % 2 = 0
-                THEN ['biolink:Disease']
-                ELSE ['graft:Customer'] END AS categories
+                THEN 'biolink:Disease'
+                ELSE 'graft:Customer' END AS categories
     FROM customer
     """,
     doc="Most-specific-category reduction (SURVEY §2.2 P6, "
@@ -74,7 +74,9 @@ def p6_most_specific_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("all_categories"),
     )
     reduced = reduce_to_most_specific_categories(nodes, default_model())
-    return reduced.select("id", "categories")
+    return reduced.select(
+        "id", F.array_join(F.sort_array("categories"), "|").alias("categories")
+    )
 
 
 @register(
@@ -203,7 +205,7 @@ def j8_qualified_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'N:' || CAST(c_nationkey AS VARCHAR) AS result_key,
            COUNT(*) AS n_edges,
-           LIST_SORT(LIST('C:' || CAST(c_custkey AS VARCHAR))) AS output_ids
+           ARRAY_TO_STRING(LIST_SORT(LIST('C:' || CAST(c_custkey AS VARCHAR))), '|') AS output_ids
     FROM customer
     WHERE c_nationkey IN (0, 1, 2)
     GROUP BY c_nationkey
@@ -235,7 +237,7 @@ def a6_result_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         answers.groupBy(F.col("input_id").alias("result_key"))
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
-            F.sort_array(F.collect_set("output_id")).alias("output_ids"),
+            F.array_join(F.sort_array(F.collect_set("output_id")), "|").alias("output_ids"),
         )
     )
 
@@ -347,7 +349,7 @@ def j4_alias_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            'C:' || CAST(c_custkey AS VARCHAR) AS subject,
            'graft:located_in' AS predicate,
            'N:' || CAST(c_nationkey AS VARCHAR) AS object,
-           ['srcA', 'srcB'] AS sources,
+           'srcA|srcB' AS sources,
            'va' AS note
     FROM customer
     """,
@@ -376,7 +378,14 @@ def a4_normalize_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("preferred_id"),
     )
     merged = normalize_and_merge_edges(edges, synonyms)
-    return merged.select("id", "subject", "predicate", "object", "sources", "note")
+    return merged.select(
+        "id",
+        "subject",
+        "predicate",
+        "object",
+        F.array_join(F.sort_array("sources"), "|").alias("sources"),
+        "note",
+    )
 
 
 @register(
@@ -487,11 +496,11 @@ def a2_test_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_meta_nodes",
     oracle="""
     SELECT category, prefixes FROM (VALUES
-        ('graft:Customer', ['C']),
-        ('graft:Nation',   ['N']),
-        ('graft:Order',    ['O']),
-        ('graft:Region',   ['R']),
-        ('graft:Supplier', ['S'])
+        ('graft:Customer', 'C'),
+        ('graft:Nation',   'N'),
+        ('graft:Order',    'O'),
+        ('graft:Region',   'R'),
+        ('graft:Supplier', 'S')
     ) t(category, prefixes)
     """,
     doc="Meta-node aggregation (SURVEY §2.4 A3, plover.py:1221-1228): "
@@ -505,5 +514,5 @@ def a3_meta_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("id"), ":").getItem(0).alias("prefix"),
         )
         .groupBy("category")
-        .agg(F.sort_array(F.collect_set("prefix")).alias("prefixes"))
+        .agg(F.array_join(F.sort_array(F.collect_set("prefix")), "|").alias("prefixes"))
     )

@@ -43,9 +43,10 @@ SESSION_GAP_SEC = 1800
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
     ), sessions AS (
       SELECT user_id, event_id, ts_sec,
-             SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts_sec, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
