@@ -18,6 +18,9 @@ Endpoints (reference main.py routes):
 - GET  /healthcheck           -> '' (main.py:256-259)
 - GET  /code_version          -> build metadata (main.py:262-276)
 - GET  /get_logs              -> tail of the engine's query log (main.py:630-637)
+- GET  /debug                 -> driver memory + Spark cache report (main.py:285-567)
+- POST /rebuild               -> token-gated rebuild + atomic engine swap
+                                 (rebuild_main.py:45-68)
 """
 
 from __future__ import annotations
@@ -56,7 +59,10 @@ def run_query_with_timeout(
         except BaseException as e:  # noqa: BLE001 — relayed to caller
             out["error"] = e
         finally:
-            sc.clearJobGroup()
+            # PySpark's SparkContext has no clearJobGroup(); resetting the
+            # thread-local properties is the supported equivalent.
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
     t = threading.Thread(target=target, daemon=True)
     t.start()
@@ -75,12 +81,24 @@ LOG_TAIL_MAX = 2000  # parity with main.py:635 (num_lines clamp 1..2000)
 
 class KpRegistry:
     """endpoint name -> engine, with the reference's default-endpoint rule
-    (lexicographically smallest name, main.py:50-65)."""
+    (lexicographically smallest name, main.py:50-65).
 
-    def __init__(self) -> None:
+    ``query_timeout_sec`` is the per-request harakiri deadline (the
+    reference's uwsgi.ini:10 value — configurable per deployment; tests
+    raise it so cold-start warmup on a loaded box doesn't read as 504)."""
+
+    def __init__(
+        self,
+        query_timeout_sec: float = DEFAULT_QUERY_TIMEOUT_SEC,
+        rebuild_token: str | None = None,
+    ) -> None:
         self._engines: dict[str, TrapiEngine] = {}
         self._logs: dict[str, deque] = {}
         self._meta_cache: dict[str, dict] = {}
+        self.query_timeout_sec = query_timeout_sec
+        # /rebuild requires this token when set (reference auth_request,
+        # rebuild_main.py:45-68); None disables the endpoint entirely.
+        self.rebuild_token = rebuild_token
 
     def register(self, name: str, engine: TrapiEngine) -> None:
         self._engines[name] = engine
@@ -102,6 +120,17 @@ class KpRegistry:
             self._meta_cache[key] = build_meta_kg(self.engine(key).kg)
         return self._meta_cache[key]
 
+    def swap(self, name: str, engine: TrapiEngine) -> None:
+        """Atomically replace an endpoint's serving engine (the Spark
+        analog of the reference's container redeploy): single dict
+        assignment under the GIL, meta-KG cache invalidated, query log
+        kept.  The old engine's cached DataFrames are left to the
+        session's cache eviction — in-flight queries against them finish
+        normally."""
+        self._engines[name] = engine
+        self._meta_cache.pop(name, None)
+        self._logs.setdefault(name, deque(maxlen=LOG_TAIL_MAX))
+
     def log(self, name: str | None, entry: Any) -> None:
         key = name or self.default_endpoint
         if key in self._logs:
@@ -112,6 +141,120 @@ class KpRegistry:
         num_lines = max(1, min(int(num_lines), LOG_TAIL_MAX))
         entries = list(self._logs.get(key, ()))
         return entries[-num_lines:]
+
+
+def _proc_memory(include_pss: bool = False) -> dict:
+    """Driver-process memory from /proc (reference /debug,
+    main.py:285-567: RSS always, PSS opt-in because smaps_rollup walks
+    every VMA).  Returns {} on non-Linux."""
+    out: dict[str, Any] = {}
+    try:
+        with open("/proc/self/status", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    out["rss_kb"] = int(line.split()[1])
+                elif line.startswith("VmSize:"):
+                    out["vms_kb"] = int(line.split()[1])
+    except OSError:
+        return out
+    if include_pss:
+        try:
+            with open("/proc/self/smaps_rollup", encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("Pss:"):
+                        out["pss_kb"] = int(line.split()[1])
+                        break
+        except OSError:
+            pass
+    return out
+
+
+def _debug_payload(registry: KpRegistry, payload: dict) -> dict:
+    """GET /debug (reference main.py:285-567, Spark-native): driver
+    memory, Spark job/stage activity, and the cache-storage breakdown
+    that replaces the reference's per-uwsgi-worker RSS table — in a
+    single-JVM Spark deployment the persisted artifact tables ARE the
+    resident working set."""
+    any_engine = registry.engine(None)
+    sc = any_engine.spark.sparkContext
+    tracker = sc.statusTracker()
+    cached = []
+    try:  # @DeveloperApi SparkContext.getRDDStorageInfo via py4j
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            cached.append(
+                {
+                    "name": info.name(),
+                    "mem_mb": round(info.memSize() / (1024 * 1024), 2),
+                    "disk_mb": round(info.diskSize() / (1024 * 1024), 2),
+                    "partitions_cached": info.numCachedPartitions(),
+                    "partitions_total": info.numPartitions(),
+                }
+            )
+    except Exception:  # noqa: BLE001 — storage details are best-effort
+        pass
+    return {
+        "driver_memory": _proc_memory(include_pss=bool(payload.get("pss"))),
+        "spark": {
+            "active_jobs": len(tracker.getActiveJobsIds()),
+            "active_stages": len(tracker.getActiveStageIds()),
+            "default_parallelism": sc.defaultParallelism,
+            "cached_tables": cached,
+        },
+        "endpoints": sorted(registry._engines),
+    }
+
+
+def _rebuild(registry: KpRegistry, payload: dict, endpoint: str | None) -> dict:
+    """POST /rebuild (reference rebuild_main.py:45-68, reimagined
+    Spark-native): instead of re-running a container build script, rebuild
+    the artifact set from the given KGX files inside the running session
+    and atomically swap the serving engine.  401 without the registry's
+    rebuild token; 422 on missing file parameters (both mirror the
+    reference's statuses)."""
+    import time as _time
+
+    if registry.rebuild_token is None or (
+        payload.get("token") != registry.rebuild_token
+    ):
+        raise QueryError(401, "Not authenticated")
+    nodes_file, edges_file = payload.get("nodes_file"), payload.get("edges_file")
+    if not nodes_file or not edges_file:
+        raise QueryError(
+            422,
+            "Request is missing 'nodes_file'/'edges_file' parameters — the "
+            "KGX inputs to rebuild from.",
+        )
+    name = endpoint or registry.default_endpoint
+    old = registry.engine(name)
+    start = _time.time()
+
+    from ploverdb_spark.build.ingest import build_knowledge_graph, write_artifacts
+    from ploverdb_spark.sources.kgx import KgxConfig, read_kgx_auto
+
+    config = KgxConfig(**payload.get("config", {}))
+    spark = old.spark
+    nodes = read_kgx_auto(spark, nodes_file, config, required=("id",))
+    edges = read_kgx_auto(
+        spark, edges_file, config, required=("subject", "predicate", "object")
+    )
+    kg = build_knowledge_graph(
+        nodes,
+        edges,
+        config,
+        provenance_files=[nodes_file, edges_file],
+    ).persist()
+    engine = TrapiEngine(
+        kg,
+        kp_infores_curie=old.kp_infores_curie,
+        answer_cutoff=config.num_edges_per_answer_cutoff,
+    )
+    if payload.get("artifacts_dir"):
+        write_artifacts(kg, payload["artifacts_dir"])
+    registry.swap(name, engine)
+    return {
+        "message": f"Rebuild of '{name}' done. Took "
+        f"{round((_time.time() - start) / 60, 1)} minutes."
+    }
 
 
 def handle(
@@ -130,7 +273,9 @@ def handle(
     try:
         if path == "query":
             eng = registry.engine(endpoint)
-            body = run_query_with_timeout(eng, payload)
+            body = run_query_with_timeout(
+                eng, payload, timeout_sec=registry.query_timeout_sec
+            )
             registry.log(endpoint, {"path": "query", "ok": True})
             return 200, body
         if path == "edges":
@@ -156,6 +301,10 @@ def handle(
                 }
                 for r in rows
             }
+        if path == "rebuild":
+            return 200, _rebuild(registry, payload, endpoint)
+        if path == "debug":
+            return 200, _debug_payload(registry, payload)
         if path == "healthcheck":
             return 200, ""
         if path == "code_version":

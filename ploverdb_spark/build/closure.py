@@ -153,6 +153,60 @@ def closure_report(closure: DataFrame, top_n: int = 50) -> dict:
     }
 
 
+def resolve_subclass_edge_set(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_synonyms: DataFrame,
+    fallback_edges: DataFrame | None = None,
+    subclass_sources: list[str] | None = None,
+) -> DataFrame:
+    """G1 with the reference's remote-file fallback (plover.py:1521-1618):
+
+    1. subclass/superclass edges already in the graph win outright;
+    2. only when the graph has NONE and a fallback edge set is supplied
+       (fetched from the config's subclass-file URL), keep fallback edges
+       whose subject AND object are known ids (preferred or alias) and
+       remap both endpoints to preferred ids;
+    3. an optional ``subclass_sources`` allowlist then filters on
+       ``primary_knowledge_source`` (applies to either path);
+    4. dedupe by (subject, predicate, object) triple.
+
+    Returns (parent, child) pairs ready for :func:`transitive_closure`.
+    The in-graph emptiness probe is one driver-side action at build time —
+    the same decision the reference makes per build.
+    """
+    subclass_preds = ["biolink:subclass_of", "biolink:superclass_of"]
+    in_graph = edges.where(F.col("predicate").isin(subclass_preds))
+    chosen = in_graph
+    if fallback_edges is not None and in_graph.isEmpty():
+        fb = fallback_edges.where(F.col("predicate").isin(subclass_preds))
+        # known-id map: alias -> preferred, plus identity for graph ids
+        id_map = id_synonyms.select("alias_id", "preferred_id").unionByName(
+            nodes.select(
+                F.col("id").alias("alias_id"), F.col("id").alias("preferred_id")
+            )
+        ).dropDuplicates(["alias_id"])
+        subj_map = id_map.select(
+            F.col("alias_id").alias("subject"), F.col("preferred_id").alias("__ps")
+        )
+        obj_map = id_map.select(
+            F.col("alias_id").alias("object"), F.col("preferred_id").alias("__po")
+        )
+        chosen = (
+            fb.join(subj_map, on="subject")  # inner: unknown subjects drop
+            .join(obj_map, on="object")
+            .withColumn("subject", F.col("__ps"))
+            .withColumn("object", F.col("__po"))
+            .drop("__ps", "__po")
+        )
+    if subclass_sources and "primary_knowledge_source" in chosen.columns:
+        chosen = chosen.where(
+            F.col("primary_knowledge_source").isin(list(subclass_sources))
+        )
+    chosen = chosen.dropDuplicates(["subject", "predicate", "object"])
+    return subclass_edges(chosen)
+
+
 def subclass_edges(
     edges: DataFrame,
     subclass_predicates: tuple[str, ...] = ("biolink:subclass_of",),

@@ -22,7 +22,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ploverdb_spark.build.closure import subclass_edges, transitive_closure
+from ploverdb_spark.build.closure import (
+    resolve_subclass_edge_set,
+    transitive_closure,
+)
 from ploverdb_spark.ontology.biolink_lite import BiolinkLite, default_model
 from ploverdb_spark.sources.kgx import (
     KgxConfig,
@@ -225,6 +228,20 @@ def normalize_and_merge_edges(
     e = e.withColumn(
         "id", F.concat_ws("--", F.col("subject"), F.col("predicate"), F.col("object"), source)
     )
+    # supporting_studies dedupe by nctid BEFORE merging (reference
+    # plover.py:1097-1100 builds {nctid: study} per edge — key order is
+    # first occurrence, value is the last struct for that nctid)
+    ss_type = dict(e.dtypes).get("supporting_studies", "")
+    if ss_type.startswith("array<struct") and "nctid" in ss_type:
+        e = e.withColumn(
+            "supporting_studies",
+            F.expr(
+                "transform("
+                "  array_distinct(transform(supporting_studies, y -> y.nctid)),"
+                "  k -> element_at(filter(supporting_studies, y -> y.nctid = k), -1)"
+                ")"
+            ),
+        )
     group_cols = ["id", "subject", "predicate", "object"]
     aggs = []
     for c, t in e.dtypes:
@@ -275,6 +292,30 @@ def build_edges_bidir(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return bidir.join(ncat, on="neighbor_id", how="left")
 
 
+def _fetch_subclass_fallback(
+    spark: SparkSession, config: KgxConfig
+) -> DataFrame | None:
+    """Stage the config's subclass-edge file (S1 fetch for http(s) URLs,
+    read-in-place for local paths) as a raw edge DataFrame; None when the
+    config names no file (the normal case, plover.py:1534-1537)."""
+    url = config.subclass_edges_url
+    if not url:
+        return None
+    from ploverdb_spark.sources.kgx import read_kgx_auto
+
+    path = url
+    if url.startswith(("http://", "https://")):
+        import tempfile
+
+        from ploverdb_spark.sources.fetch import fetch_file
+
+        suffix = url.rsplit("/", 1)[-1]
+        path = fetch_file(url, f"{tempfile.gettempdir()}/{suffix}")
+    return read_kgx_auto(
+        spark, path, config, required=("subject", "predicate", "object")
+    )
+
+
 def build_knowledge_graph(
     nodes_raw: DataFrame,
     edges_raw: DataFrame,
@@ -282,13 +323,21 @@ def build_knowledge_graph(
     model: BiolinkLite | None = None,
     category_prop: str | None = None,
     provenance_files: list[str] | None = None,
+    resolver=None,
 ) -> KnowledgeGraph:
-    """Full build pipeline (reference ``build_indexes``, plover.py:725-1382,
-    minus web downloads): categories -> synonyms -> canonical flip ->
-    integrity -> bidir index -> subclass closure.
+    """Full build pipeline (reference ``build_indexes``, plover.py:725-1382):
+    categories -> synonyms -> canonical flip -> integrity -> bidir index ->
+    subclass closure.
 
     ``provenance_files`` injects the synthetic build-provenance node (P9,
     plover.py:923-932) recording the input file list.
+
+    ``resolver`` (a :data:`ploverdb_spark.sources.normalizer.Resolver`) is
+    consulted for the preferred-id map when ``convert_input_ids`` is on
+    and the graph itself ships no equivalent-id arrays — the reference's
+    SRI NodeNormalizer path (plover.py:883-905).  Pass
+    ``sri_resolver()`` for the real service; builds without network access
+    simply omit it.
     """
     config = config or KgxConfig()
     model = model or default_model()
@@ -316,17 +365,42 @@ def build_knowledge_graph(
     # re-runs the category-reduction pipeline from the source.
     nodes = nodes.repartition(n, "id").persist()
 
-    synonyms = build_id_synonyms(nodes, config) if config.convert_input_ids else (
-        spark.createDataFrame([], "alias_id string, preferred_id string")
-    )
+    if not config.convert_input_ids:
+        synonyms = spark.createDataFrame([], "alias_id string, preferred_id string")
+    elif (
+        resolver is not None
+        and not any(c in nodes.columns for c in config.equiv_id_properties)
+    ):
+        # no in-graph equivalent-id arrays -> batch-resolve via the
+        # injected normalizer (reference plover.py:883-905)
+        from ploverdb_spark.sources.normalizer import resolve_synonyms
+
+        synonyms = resolve_synonyms(nodes, resolver)
+    else:
+        synonyms = build_id_synonyms(nodes, config)
 
     edges = flip_noncanonical_edges(edges_raw, model)
+    if config.normalize:
+        # P8 + A4 (plover.py:1092-1111, gated on the "normalize" config
+        # key): remap endpoints through the preferred-id map and merge
+        # duplicate subject--predicate--object--source edges BEFORE the
+        # integrity check, so edges referencing alias curies resolve
+        # instead of being dropped/raising.
+        edges = normalize_and_merge_edges(edges, synonyms)
     edges = referential_integrity(edges, nodes, is_test=config.is_test)
     edges = edges.persist()  # feeds bidir, closure, and direct serving
 
     bidir = build_edges_bidir(edges, nodes).repartition(n, "node_id")
 
-    closure = transitive_closure(subclass_edges(edges)).select("ancestor", "descendant")
+    fallback = _fetch_subclass_fallback(spark, config)
+    pairs = resolve_subclass_edge_set(
+        edges,
+        nodes,
+        synonyms,
+        fallback_edges=fallback,
+        subclass_sources=config.subclass_sources,
+    )
+    closure = transitive_closure(pairs).select("ancestor", "descendant")
 
     return KnowledgeGraph(
         nodes=nodes,

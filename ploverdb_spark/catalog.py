@@ -59,20 +59,28 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-provided parquet tables.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long (session conf, safe to set at
-    runtime) and convert to a microsecond timestamp — matching how DuckDB
-    (microsecond-precision timestamps) sees the same file.
+    ``events.ts`` is normalized to session-local TimestampType no matter
+    how the file's physical type reads back:
+
+    - TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ, on which
+      numeric casts are illegal (Spark 4 ANSI); cast to TimestampType —
+      with ``spark.sql.session.timeZone=UTC`` pinned (session.py) the
+      instant is unchanged and ``cast(ts as long)`` equals DuckDB's
+      ``floor(epoch(ts))`` on the same file.
+    - TIMESTAMP(NANOS) under ``legacy.parquet.nanosAsLong`` surfaces as
+      bigint nanos; integer-divide to micros (double division would round
+      differently than DuckDB's truncation for ~1e18 nanos).
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -14,9 +14,13 @@ can recompute every stage bit-for-bit):
 - embedding near-dup: cosine over a blocking key (label/IVF cell), so the
                   pair space is |block|² not |corpus|²
 
-At scale, the LSH band join is the only quadratic-risk stage and it is
-bounded by bucket size; salting the band key with a doc-count suffix
-handles pathological buckets (hot-key guard).
+At scale, two quadratic corners are explicitly bounded:
+- LSH hot buckets: buckets over ``max_bucket_size`` switch from a
+  single-task ``collect_list`` expansion to a distributed self-join on
+  the bucket key (identical pair set, bounded task memory);
+- near-dup blocks: blocks over ``max_block_size`` are deterministically
+  hash-split into capped sub-blocks (bounded-recall trade; results are
+  unchanged whenever blocks fit the cap).
 """
 
 from __future__ import annotations
@@ -24,10 +28,19 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ploverdb_spark.operators.text import ws_tokens
+
+
+def _md5_salt(id_col: Column) -> Column:
+    """Deterministic small salt from an id: first 4 md5 hex digits as an
+    integer — engine-agnostic (SQL oracles and Python tests recompute it
+    exactly) and uniform enough for bucket splitting."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+    ).cast("long")
 
 
 def exact_dedup(
@@ -118,6 +131,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Docs agreeing on all hashes within any band become candidate pairs
     (a < b).
@@ -128,8 +142,17 @@ def lsh_candidate_pairs(
     emitted in ONE projection (array of structs -> explode), and pairs are
     generated inside each bucket via groupBy + collect_list: the signature
     plan runs exactly once and the only shuffle is the bucket groupBy.
-    Bucket sizes are bounded by LSH design (similar docs only); a
-    pathological hot bucket needs key salting upstream — see module doc.
+
+    Hot-bucket guard: a pathological bucket (e.g. an empty-text cluster)
+    would make ``collect_list`` buffer the whole bucket in ONE task and
+    emit |bucket|² pairs.  Buckets over ``max_bucket_size`` are
+    deterministically md5-salted into ``ceil(size / cap)`` sub-buckets and
+    pairs form only within a sub-bucket — the standard LSH hot-key
+    treatment (bounded task memory AND bounded pair volume, at the price
+    of recall only inside pathological buckets).  Buckets under the cap
+    are untouched, and the whole thing stays ONE plan: window count +
+    groupBy cluster on the same bucket key, so the expensive signature
+    subtree still evaluates exactly once.
     """
     bands = num_hashes // band_size
     band_structs = F.array(
@@ -152,13 +175,20 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
+    # one shuffle on the bucket key; the groupBy below clusters on the
+    # same leading keys (no second full exchange)
+    n_sub = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+        / F.lit(max_bucket_size)
+    )
+    banded = banded.withColumn("__sub", _md5_salt(F.col(id_col)) % n_sub)
     buckets = (
-        banded.groupBy("band", "band_key")
+        banded.groupBy("band", "band_key", "__sub")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    # all a<b combinations within a bucket: ids is sorted, so pairing each
-    # element with its strict successors preserves doc_a < doc_b
+    # all a<b combinations within a (sub-)bucket: ids is sorted, so
+    # pairing each element with its strict successors keeps doc_a < doc_b
     return (
         buckets.select(
             F.explode(
@@ -290,17 +320,40 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_block_size: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates within a blocking key: the join is
     on ``block_col`` (label / IVF cell), so pair count is bounded per block
-    instead of corpus-quadratic."""
-    a = embeddings.select(
-        F.col(block_col).alias("b"),
+    instead of corpus-quadratic.
+
+    Block-size cap: with coarse labels a block of size B still costs B²
+    pairs, which at corpus scale is the whole job.  Blocks over
+    ``max_block_size`` are hash-split into ``ceil(B / cap)`` sub-blocks
+    (deterministic md5 salt on the id, so re-runs and SQL oracles agree);
+    near-dup search then only compares within a sub-block — the standard
+    bounded-recall trade every production dedup pipeline makes.  Blocks
+    under the cap are untouched, so small-scale results are identical to
+    the uncapped form.
+    """
+    n_sub = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy(block_col))
+        / F.lit(max_block_size)
+    )
+    blocked = embeddings.withColumn(
+        "__b",
+        F.concat_ws(
+            "#",
+            F.col(block_col).cast("string"),
+            (_md5_salt(F.col(id_col)) % n_sub).cast("string"),
+        ),
+    )
+    a = blocked.select(
+        F.col("__b").alias("b"),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("emb_a"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("b"),
+    b = blocked.select(
+        F.col("__b").alias("b"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("emb_b"),
     )

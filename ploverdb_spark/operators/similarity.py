@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ploverdb_spark.operators.dedup import quantized_cosine_udf
+from ploverdb_spark.operators.dedup import QUANT_SCALE, quantized_cosine_udf
 
 TOPK_SALT = 16
 
@@ -80,14 +80,26 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-cell centroid vectors via elementwise mean — a distributed
-    aggregate (posexplode + groupBy), no driver-side math."""
-    dim = F.size(F.col(vec_col))
+    aggregate (posexplode + groupBy), no driver-side math.
+
+    Components are int64-quantized (``floor(x * 1e7 + 0.5)``) before
+    summing, so the per-cell sums are exact integers and the mean is a
+    single float division — accumulation-order-independent and therefore
+    exactly reproducible in a SQL oracle (same trick as
+    :func:`quantized_cosine_udf`)."""
     exploded = embeddings.select(
         F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
+    qv = F.floor(F.col("v").cast("double") * QUANT_SCALE + 0.5).cast("long")
     return (
-        exploded.groupBy("cell", "pos")
-        .agg(F.avg("v").alias("mean_v"))
+        exploded.select("cell", "pos", qv.alias("qv"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("qv").alias("qsum"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "mean_v",
+            F.col("qsum").cast("double")
+            / (F.col("n").cast("double") * float(QUANT_SCALE)),
+        )
         .groupBy("cell")
         .agg(
             F.array_sort(

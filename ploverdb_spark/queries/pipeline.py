@@ -7,10 +7,10 @@ duplicates — the raw table has no duplicate texts, which would make the
 checks vacuous.
 
 md5 is the shared deterministic hash between Spark and DuckDB, so
-MinHash/LSH and SimHash are *exactly* reproducible in the oracle — no
-rows-only downgrade needed.  The only rows-only entries are the IVF
-similarity search (float mean centroids are accumulation-order-dependent)
-and the mapInPandas multimodal extractor.
+MinHash/LSH, SimHash, and the multimodal fake-decode features are
+*exactly* reproducible in the oracle; IVF centroids are made
+order-independent by int64-quantizing components before summing — every
+entry here is oracle-checked, no rows-only downgrades.
 """
 
 from __future__ import annotations
@@ -367,10 +367,54 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_ivf_topk",
-    oracle=None,  # float centroid means are accumulation-order-dependent
+    oracle=f"""
+    WITH ex AS (
+      SELECT label AS cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), cq AS (
+      SELECT cell, pos,
+             SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+               AS qsum,
+             COUNT(*) AS n
+      FROM ex GROUP BY cell, pos
+    ), cent AS (
+      SELECT cell,
+             list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0)
+                  ORDER BY pos) AS centroid
+      FROM cq GROUP BY cell
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 5
+    ), routed AS (
+      SELECT query_id, q_emb, cell, {_qcos('q_emb', 'centroid')} AS cdist
+      FROM q CROSS JOIN cent
+    ), probe AS (
+      SELECT query_id, q_emb, cell FROM (
+        SELECT query_id, q_emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cdist DESC, cell) AS crank
+        FROM routed
+      ) WHERE crank <= 1
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_qcos('p.q_emb', 'c.embedding')} AS cos_raw
+      FROM probe p
+      JOIN embeddings c ON c.label = p.cell AND c.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rank <= 10
+    """,
     doc="IVF approximate top-k (the 100 TB scale path): per-cell centroids "
     "via distributed elementwise mean, queries probe nearest cell only. "
-    "Rows-only check: centroid float means are not order-deterministic.",
+    "Centroid components are int64-quantized before summing (exact integer "
+    "sums, one float division), so the oracle reproduces them bit-for-bit.",
 )
 def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
@@ -381,12 +425,36 @@ def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- multimodal -------------------------------------------------------------
 
 
+def _md5_byte(i: int) -> str:
+    """DuckDB fragment: byte ``i`` of md5's 16-byte digest, recovered from
+    the hex string (two hex digits -> 16*hi + lo)."""
+    hexd = "'0123456789abcdef'"
+    hi = f"(strpos({hexd}, substr(h, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos({hexd}, substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {hi} + {lo})"
+
+
 @register(
     "m1_media_features",
-    oracle=None,  # mapInPandas decode stage is not SQL-expressible
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, md5(text) AS h FROM documents
+    )
+    SELECT media_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 12) AS sha_prefix,
+           CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+           CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(0 AS INTEGER) AS duration_ms
+    FROM m
+    """,
     doc="Multimodal plumbing: binary payload column -> Arrow-batched "
     "mapInPandas decode/feature-extract (deterministic fake codec; real "
-    "codecs slot into operators/multimodal.py). Rows-only check.",
+    "codecs slot into operators/multimodal.py). The fake decode derives "
+    "every feature from md5/sha256 of the utf-8 payload, which DuckDB "
+    "recomputes exactly (strings are utf-8, so md5(text) == md5(bytes)).",
 )
 def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

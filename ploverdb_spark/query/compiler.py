@@ -27,7 +27,7 @@ from __future__ import annotations
 import itertools
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD, DIR_REVERSE, KnowledgeGraph
@@ -516,14 +516,43 @@ class TrapiEngine:
         matched = matched.withColumnRenamed("node_id", "input_id").withColumnRenamed(
             "neighbor_id", "output_id"
         )
+
+        # A symmetric predicate whose BOTH endpoints are in the pinned
+        # (subclass-expanded) input set matches the same KG edge in both
+        # traversal directions of edges_bidir, which would emit two
+        # mirrored results for one edge and double-count it toward the
+        # answer cutoff.  The reference assigns each answer edge to exactly
+        # one result (plover.py:2339-2354, fulfilled forwards first); keep
+        # one row per edge id, preferring the forward traversal.  Only the
+        # doubly-pinned symmetric case can collide, so the extra shuffle is
+        # gated to it.
+        if compiled.output_ids and bidirectional:
+            w_edge = Window.partitionBy("id").orderBy(
+                F.when(F.col("direction") == DIR_FORWARD, 0).otherwise(1),
+                F.col("input_id"),
+            )
+            matched = (
+                matched.withColumn("__edge_rn", F.row_number().over(w_edge))
+                .where(F.col("__edge_rn") == 1)
+                .drop("__edge_rn")
+            )
+
         if persist_answers:
             # reused by cutoff check, hydration, and grouping
             matched = matched.persist()
 
         # F5: answer-size guard (plover.py:2051-2058) — hard 403, no
         # truncation. limit(cutoff+1) bounds the work of the check.
+        # Any failure here (including job-group cancellation from the 45s
+        # timeout) must unpersist, or the cached answers leak for the
+        # session's lifetime.
         if self.answer_cutoff is not None:
-            over = matched.limit(self.answer_cutoff + 1).count()
+            try:
+                over = matched.limit(self.answer_cutoff + 1).count()
+            except BaseException:
+                if persist_answers:
+                    matched.unpersist()
+                raise
             if over > self.answer_cutoff:
                 if persist_answers:
                     matched.unpersist()

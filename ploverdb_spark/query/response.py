@@ -13,6 +13,7 @@ everything else becomes an entry in ``attributes``.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -56,6 +57,98 @@ def _attribute_type_id(prop: str) -> str:
     return prop if ":" in prop else f"biolink:{prop}"
 
 
+# Default attribute shells (reference trapi_attribute_template.json +
+# load_trapi_attribute_map, plover.py:1424-1447): per-property TRAPI
+# attribute metadata — attribute_type_id, value_type_id, and an
+# attribute_source that substitutes "{kp_infores_curie}" (or reads another
+# edge property when the placeholder names one).  Properties without a
+# shell fall back to {attribute_type_id: biolink:<prop>} exactly like the
+# reference's default branch (plover.py:2259-2261).
+DEFAULT_ATTRIBUTE_SHELLS: dict[str, dict] = {
+    "knowledge_level": {
+        "attribute_type_id": "biolink:knowledge_level",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "agent_type": {
+        "attribute_type_id": "biolink:agent_type",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "iri": {
+        "attribute_type_id": "biolink:IriType",
+        "value_type_id": "metatype:Uri",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "description": {
+        "attribute_type_id": "biolink:description",
+        "value_type_id": "metatype:String",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "equivalent_curies": {
+        "attribute_type_id": "biolink:xref",
+        "value_type_id": "metatype:Nodeidentifier",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "equivalent_ids": {
+        "attribute_type_id": "biolink:xref",
+        "value_type_id": "metatype:Nodeidentifier",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "equivalent_identifiers": {
+        "attribute_type_id": "biolink:xref",
+        "value_type_id": "metatype:Nodeidentifier",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "publications": {
+        "attribute_type_id": "biolink:publications",
+        "value_type_id": "biolink:Uriorcurie",
+        "attribute_source": "{primary_knowledge_source}",
+    },
+    "publication": {
+        "attribute_type_id": "biolink:publications",
+        "value_type_id": "biolink:Uriorcurie",
+        "attribute_source": "{primary_knowledge_source}",
+    },
+}
+
+
+def attribute_shells_for(config) -> dict[str, dict]:
+    """Defaults merged with per-KP config overrides (reference
+    kg_config["trapi_attribute_map"], plover.py:1441-1445)."""
+    shells = dict(DEFAULT_ATTRIBUTE_SHELLS)
+    overrides = getattr(config, "trapi_attribute_map", None) or {}
+    shells.update(overrides)
+    return shells
+
+
+def make_attribute(
+    prop: str,
+    value: Any,
+    kp_infores_curie: str,
+    shells: dict[str, dict] | None = None,
+    row: dict | None = None,
+) -> dict:
+    """One TRAPI attribute from a property via its template shell
+    (reference _get_trapi_edge_attribute, plover.py:2301-2320):
+    ``{kp_infores_curie}`` in attribute_source becomes the KP curie, any
+    other ``{placeholder}`` reads that property off the same row, and
+    ``{value}`` inside value_url is substituted with the value."""
+    shells = DEFAULT_ATTRIBUTE_SHELLS if shells is None else shells
+    shell = shells.get(prop)
+    out = dict(shell) if shell else {"attribute_type_id": _attribute_type_id(prop)}
+    out["value"] = value
+    src = out.get("attribute_source")
+    if src and isinstance(src, str) and src.startswith("{") and src.endswith("}"):
+        name = src[1:-1]
+        if name == "kp_infores_curie":
+            out["attribute_source"] = kp_infores_curie
+        else:
+            out["attribute_source"] = (row or {}).get(name)
+    url = out.get("value_url")
+    if url and isinstance(url, str):
+        out["value_url"] = url.replace("{value}", str(value))
+    return out
+
+
 def _clean(value: Any) -> Any:
     """Drop structurally-empty values (reference ``_is_empty``,
     plover.py:305-314): None/''/[] are empty; 0/False are not."""
@@ -68,7 +161,11 @@ def _clean(value: Any) -> Any:
     return value
 
 
-def node_to_trapi(row: dict) -> dict:
+def node_to_trapi(
+    row: dict,
+    kp_infores_curie: str | None = None,
+    shells: dict[str, dict] | None = None,
+) -> dict:
     """O1 (plover.py:2188-2197, 2256-2269)."""
     out = {
         "name": row.get("name"),
@@ -82,15 +179,18 @@ def node_to_trapi(row: dict) -> dict:
         if value is None:
             continue
         out["attributes"].append(
-            {"attribute_type_id": _attribute_type_id(prop), "value": value}
+            make_attribute(prop, value, kp_infores_curie or "", shells, row)
         )
     return out
 
 
-def edge_to_trapi(row: dict, kp_infores_curie: str) -> dict:
+def edge_to_trapi(
+    row: dict, kp_infores_curie: str, shells: dict[str, dict] | None = None
+) -> dict:
     """O2 (plover.py:2199-2254, 2271-2320): subject/object/predicate,
     sources chain, qualifiers, attributes (zipped props become nested
-    attributes with sub-attributes)."""
+    attributes with sub-attributes, each templated through the attribute
+    shells)."""
     out: dict[str, Any] = {
         "subject": row["subject"],
         "object": row["object"],
@@ -140,7 +240,7 @@ def edge_to_trapi(row: dict, kp_infores_curie: str) -> dict:
             nested = []
             for struct in value:
                 subs = [
-                    {"attribute_type_id": _attribute_type_id(k), "value": _clean(v)}
+                    make_attribute(k, _clean(v), kp_infores_curie, shells, row)
                     for k, v in struct.items()
                     if _clean(v) is not None
                 ]
@@ -155,7 +255,7 @@ def edge_to_trapi(row: dict, kp_infores_curie: str) -> dict:
             )
         else:
             out["attributes"].append(
-                {"attribute_type_id": _attribute_type_id(prop), "value": value}
+                make_attribute(prop, value, kp_infores_curie, shells, row)
             )
     return out
 
@@ -220,12 +320,88 @@ def assemble_results(
     return results
 
 
+def _to_plain(v: Any) -> Any:
+    """Arrow-batch pandas values -> plain JSON-able Python (numpy scalars
+    and ndarrays appear inside mapInPandas batches; NaN means SQL null)."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return [_to_plain(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_to_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_plain(x) for k, x in v.items()}
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        f = float(v)
+        return None if f != f else f
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+def _json_serializer(
+    to_trapi,
+    kp_infores_curie: str,
+    int_cols: tuple[str, ...],
+    shells: dict[str, dict] | None = None,
+):
+    """mapInPandas stage: TRAPI-serialize whole Arrow batches executor-side
+    and ship back (id, json) string pairs — the per-row dict assembly runs
+    on every core instead of the driver, and collect moves two string
+    columns instead of wide typed rows (SURVEY §2.10's serializer stage;
+    boundary semantics identical to the reference's driver-side loop).
+
+    ``int_cols`` lists integral Spark columns: Arrow->pandas widens them
+    to float64 when a batch contains a null, and the JSON must still say
+    ``5``, not ``5.0``."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, js = [], []
+            for rec in pdf.to_dict(orient="records"):
+                d = {k: _to_plain(v) for k, v in rec.items()}
+                for c in int_cols:
+                    if isinstance(d.get(c), float):
+                        d[c] = int(d[c])
+                ids.append(str(d["id"]))
+                js.append(json.dumps(to_trapi(d, kp_infores_curie, shells)))
+            yield pd.DataFrame({"id": ids, "json": js})
+
+    return batches
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _int_cols(df: DataFrame) -> tuple[str, ...]:
+    return tuple(c for c, t in df.dtypes if t in _INTEGRAL_TYPES)
+
+
+def _node_to_trapi_kp(row: dict, kp: str, shells: dict | None = None) -> dict:
+    return node_to_trapi(row, kp, shells)
+
+
+# Below this many answer edges a driver-side loop beats the Python-worker
+# spin-up of the distributed serializer; above it, mapInPandas wins and
+# keeps winning all the way to the 1M-edge cutoff.
+DISTRIBUTED_SERIALIZE_MIN_EDGES = 5000
+
+
 def hydrate_knowledge_graph(
     engine: TrapiEngine, answers: DataFrame
 ) -> tuple[dict, dict]:
-    """J9 (plover.py:2136-2173): answer ids -> full TRAPI nodes/edges."""
+    """J9 (plover.py:2136-2173): answer ids -> full TRAPI nodes/edges.
+
+    Serialization of large answers is distributed (mapInPandas -> JSON
+    strings); the driver only json.loads compact strings, so a
+    cutoff-sized (1M-edge) answer no longer costs minutes of
+    single-threaded dict building.  Small answers take the direct collect
+    path (one Arrow batch, no Python-worker round trip)."""
     # reconstruct subject/object from traversal direction
-    edge_rows = (
+    edge_df = (
         answers.withColumn(
             "subject",
             F.when(F.col("direction") == DIR_FORWARD, F.col("input_id")).otherwise(
@@ -239,22 +415,51 @@ def hydrate_knowledge_graph(
             ),
         )
         .dropDuplicates(["id"])
-        .collect()
     )
-    edges = {
-        str(r["id"]): edge_to_trapi(r.asDict(recursive=True), engine.kp_infores_curie)
-        for r in edge_rows
-    }
+    shells = attribute_shells_for(engine.kg.config)
+    distributed = (
+        answers.limit(DISTRIBUTED_SERIALIZE_MIN_EDGES).count()
+        >= DISTRIBUTED_SERIALIZE_MIN_EDGES
+    )
+    if distributed:
+        edge_rows = edge_df.mapInPandas(
+            _json_serializer(
+                edge_to_trapi, engine.kp_infores_curie, _int_cols(edge_df), shells
+            ),
+            "id string, json string",
+        ).collect()
+        edges = {r.id: json.loads(r.json) for r in edge_rows}
+    else:
+        edges = {
+            str(r["id"]): edge_to_trapi(
+                r.asDict(recursive=True), engine.kp_infores_curie, shells
+            )
+            for r in edge_df.collect()
+        }
     node_ids = answers.select(
         F.col("input_id").alias("nid")
     ).unionByName(answers.select(F.col("output_id").alias("nid"))).distinct()
-    node_rows = (
-        engine.kg.nodes.join(
-            F.broadcast(node_ids), engine.kg.nodes.id == node_ids.nid, "left_semi"
-        )
-        .collect()
+    hydrated = engine.kg.nodes.join(
+        F.broadcast(node_ids), engine.kg.nodes.id == node_ids.nid, "left_semi"
     )
-    nodes = {r["id"]: node_to_trapi(r.asDict(recursive=True)) for r in node_rows}
+    if distributed:
+        node_rows = hydrated.mapInPandas(
+            _json_serializer(
+                _node_to_trapi_kp,
+                engine.kp_infores_curie,
+                _int_cols(hydrated),
+                shells,
+            ),
+            "id string, json string",
+        ).collect()
+        nodes = {r.id: json.loads(r.json) for r in node_rows}
+    else:
+        nodes = {
+            r["id"]: node_to_trapi(
+                r.asDict(recursive=True), engine.kp_infores_curie, shells
+            )
+            for r in hydrated.collect()
+        }
     return nodes, edges
 
 
@@ -373,6 +578,7 @@ def run_query(engine: TrapiEngine, query: dict) -> dict:
 def _run_single_node_query(engine: TrapiEngine, qg: dict) -> dict:
     qnode_key, found = engine.single_node_lookup(qg)
     rows = found.collect()
+    shells = attribute_shells_for(engine.kg.config)
     hydrated = (
         engine.kg.nodes.join(
             F.broadcast(found.select(F.col("node_id").alias("nid"))),
@@ -381,7 +587,12 @@ def _run_single_node_query(engine: TrapiEngine, qg: dict) -> dict:
         )
         .collect()
     )
-    nodes = {r["id"]: node_to_trapi(r.asDict(recursive=True)) for r in hydrated}
+    nodes = {
+        r["id"]: node_to_trapi(
+            r.asDict(recursive=True), engine.kp_infores_curie, shells
+        )
+        for r in hydrated
+    }
     results = [
         {
             "node_bindings": {
@@ -427,6 +638,7 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
         "orig_a", "orig_b", *[c for c in e.columns]
     )
     rows = hits.collect()
+    shells = attribute_shells_for(engine.kg.config)
     pairs_to_edge_ids: dict[str, list[str]] = {}
     kg_edges: dict[str, dict] = {}
     for r in rows:
@@ -435,7 +647,7 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
         d = r.asDict(recursive=True)
         d.pop("orig_a", None)
         d.pop("orig_b", None)
-        kg_edges[str(r["id"])] = edge_to_trapi(d, engine.kp_infores_curie)
+        kg_edges[str(r["id"])] = edge_to_trapi(d, engine.kp_infores_curie, shells)
     for a, b in pairs:
         pairs_to_edge_ids.setdefault(f"{a}--{b}", [])
     node_ids = {e["subject"] for e in kg_edges.values()} | {
@@ -447,7 +659,12 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
         node_rows = engine.kg.nodes.join(
             F.broadcast(nid_df), engine.kg.nodes.id == F.col("nid"), "left_semi"
         ).collect()
-        nodes = {r["id"]: node_to_trapi(r.asDict(recursive=True)) for r in node_rows}
+        nodes = {
+            r["id"]: node_to_trapi(
+                r.asDict(recursive=True), engine.kp_infores_curie, shells
+            )
+            for r in node_rows
+        }
     return {
         "pairs_to_edge_ids": pairs_to_edge_ids,
         "knowledge_graph": {"nodes": nodes, "edges": kg_edges},

@@ -60,6 +60,11 @@ class KgxConfig:
     zip_properties: dict[str, dict] = field(default_factory=dict)
     # zip_properties: new_prop -> {"properties": [col, ...], "leader": col}
     convert_input_ids: bool = True
+    # Re-map edge endpoints to preferred ids and merge colliding
+    # subject--predicate--object--source edges at build time (reference
+    # "normalize" config key, plover.py:958-964, 1092-1111).  False when
+    # the graph's edge CURIEs are already canonical.
+    normalize: bool = False
     equiv_id_properties: tuple[str, ...] = (
         "equivalent_curies",
         "equivalent_identifiers",
@@ -68,6 +73,16 @@ class KgxConfig:
     )
     is_test: bool = False
     num_edges_per_answer_cutoff: int = 1_000_000
+    # Remote subclass-edge fallback (reference plover.py:1536-1618): when
+    # the KG itself has no subclass edges, fetch this KGX file and use its
+    # subclass triples (filtered to known ids, remapped to preferred ids).
+    subclass_edges_url: str | None = None
+    # Allowlist of primary_knowledge_source values for subclass edges
+    # (reference kg_config["subclass_sources"], plover.py:1601-1608).
+    subclass_sources: list[str] | None = None
+    # Per-KP overrides of the default TRAPI attribute shells
+    # (reference kg_config["trapi_attribute_map"], plover.py:1441-1445).
+    trapi_attribute_map: dict[str, dict] = field(default_factory=dict)
 
 
 _NULL_SENTINELS = ("", "none", "null")
@@ -188,6 +203,20 @@ def read_kgx_jsonl(
     if missing:
         raise ValueError(f"missing required columns: {missing}")
     return df
+
+
+def read_kgx_auto(
+    spark: SparkSession,
+    path: str,
+    config: KgxConfig | None = None,
+    required: tuple[str, ...] = (),
+) -> DataFrame:
+    """Dispatch on extension: .jsonl/.json(.gz) -> JSONL reader, else TSV
+    (gzip handled natively by both)."""
+    name = path.removesuffix(".gz")
+    if name.endswith((".jsonl", ".json")):
+        return read_kgx_jsonl(spark, path, required=required)
+    return read_kgx_tsv(spark, path, config, required=required)
 
 
 def apply_edge_fixups(edges: DataFrame, config: KgxConfig) -> DataFrame:

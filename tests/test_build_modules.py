@@ -39,6 +39,207 @@ def fixture_engine(spark):
     return build_knowledge_graph(nodes, edges, KgxConfig()).persist()
 
 
+def test_build_normalize_remaps_and_merges(spark):
+    """config.normalize=True (reference plover.py:958-964, 1092-1111):
+    edge endpoints referencing alias curies are remapped to preferred ids
+    at build time and duplicate subject--predicate--object--source edges
+    merge into one re-keyed edge (array props unioned)."""
+    from ploverdb_spark.build.ingest import build_knowledge_graph
+
+    nodes = spark.createDataFrame(
+        [
+            ("CHEM:1", "chem one", ["biolink:SmallMolecule"], ["CHEM:alias1", "CHEM:1"], []),
+            ("DIS:1", "disease one", ["biolink:Disease"], [], []),
+        ],
+        "id string, name string, all_categories array<string>, "
+        "equivalent_curies array<string>, publications array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            # same logical edge, once via the alias curie
+            ("e1", "CHEM:1", "DIS:1", "biolink:treats", "infores:src1", ["PMID:1"]),
+            ("e2", "CHEM:alias1", "DIS:1", "biolink:treats", "infores:src1", ["PMID:2"]),
+        ],
+        "id string, subject string, object string, predicate string, "
+        "primary_knowledge_source string, publications array<string>",
+    )
+    kg = build_knowledge_graph(nodes, edges, KgxConfig(normalize=True))
+    merged = kg.edges.collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row.subject == "CHEM:1" and row.object == "DIS:1"
+    assert row.id == "CHEM:1--biolink:treats--DIS:1--infores:src1"
+    assert sorted(row.publications) == ["PMID:1", "PMID:2"]
+
+    # default (normalize=False): the alias endpoint violates referential
+    # integrity — raises outside test mode, silently drops in test mode
+    with pytest.raises(ValueError, match="nonexistent"):
+        build_knowledge_graph(nodes, edges, KgxConfig())
+    kg2 = build_knowledge_graph(nodes, edges, KgxConfig(is_test=True))
+    ids = {r.id for r in kg2.edges.collect()}
+    assert ids == {"e1"}
+
+
+def test_subclass_fallback_from_remote_file(spark, tmp_path):
+    """G1 remote fallback (reference plover.py:1536-1618): a KG with no
+    subclass edges pulls them from the configured file — unknown-id edges
+    drop, alias endpoints remap to preferred ids, and the
+    subclass_sources allowlist filters by provenance."""
+    from ploverdb_spark.build.ingest import build_knowledge_graph
+
+    nodes = spark.createDataFrame(
+        [
+            ("DIS:parent", "parent", ["biolink:Disease"], ["ALIAS:parent", "DIS:parent"], []),
+            ("DIS:child", "child", ["biolink:Disease"], [], []),
+            ("CHEM:1", "chem", ["biolink:SmallMolecule"], [], []),
+        ],
+        "id string, name string, all_categories array<string>, "
+        "equivalent_curies array<string>, publications array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "CHEM:1", "DIS:child", "biolink:treats", "infores:src1", [])],
+        "id string, subject string, object string, predicate string, "
+        "primary_knowledge_source string, publications array<string>",
+    )
+    sub_file = tmp_path / "subclass_edges.jsonl"
+    sub_file.write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                # alias object -> remapped to DIS:parent
+                {"id": "s1", "subject": "DIS:child", "predicate": "biolink:subclass_of",
+                 "object": "ALIAS:parent", "primary_knowledge_source": "infores:ontology"},
+                # unknown subject -> dropped
+                {"id": "s2", "subject": "UNKNOWN:x", "predicate": "biolink:subclass_of",
+                 "object": "DIS:parent", "primary_knowledge_source": "infores:ontology"},
+                # wrong source -> dropped by subclass_sources allowlist
+                {"id": "s3", "subject": "CHEM:1", "predicate": "biolink:subclass_of",
+                 "object": "DIS:parent", "primary_knowledge_source": "infores:other"},
+                # non-subclass predicate -> ignored
+                {"id": "s4", "subject": "DIS:child", "predicate": "biolink:treats",
+                 "object": "DIS:parent", "primary_knowledge_source": "infores:ontology"},
+            ]
+        )
+    )
+    cfg = KgxConfig(
+        subclass_edges_url=str(sub_file),
+        subclass_sources=["infores:ontology"],
+    )
+    kg = build_knowledge_graph(nodes, edges, cfg)
+    pairs = {(r.ancestor, r.descendant) for r in kg.subclass_closure.collect()}
+    assert pairs == {("DIS:parent", "DIS:child")}
+
+    # in-graph subclass edges win: same config, but the KG now carries its
+    # own subclass edge -> the fallback file is not consulted
+    edges2 = edges.unionByName(
+        spark.createDataFrame(
+            [("e_sub", "DIS:child", "DIS:parent", "biolink:subclass_of",
+              "infores:ontology", [])],
+            edges.schema,
+        )
+    )
+    kg2 = build_knowledge_graph(nodes, edges2, cfg)
+    pairs2 = {(r.ancestor, r.descendant) for r in kg2.subclass_closure.collect()}
+    assert pairs2 == {("DIS:parent", "DIS:child")}
+
+
+def test_normalize_dedupes_supporting_studies_by_nctid(spark):
+    """Reference plover.py:1097-1100: under normalize, each edge's
+    supporting_studies dedupe by nctid — first-occurrence key order, last
+    struct per key (Python-dict semantics)."""
+    from ploverdb_spark.build.ingest import normalize_and_merge_edges
+
+    edges = spark.createDataFrame(
+        [
+            (
+                "e1",
+                "A:1",
+                "B:1",
+                "biolink:treats",
+                "infores:s",
+                [
+                    {"nctid": "NCT1", "phase": "phase_1"},
+                    {"nctid": "NCT2", "phase": "phase_2"},
+                    {"nctid": "NCT1", "phase": "phase_3"},  # last NCT1 wins
+                ],
+            )
+        ],
+        "id string, subject string, object string, predicate string, "
+        "primary_knowledge_source string, "
+        "supporting_studies array<struct<nctid:string, phase:string>>",
+    )
+    syn = spark.createDataFrame([], "alias_id string, preferred_id string")
+    out = normalize_and_merge_edges(edges, syn).collect()
+    assert len(out) == 1
+    studies = [s.asDict() for s in out[0].supporting_studies]
+    assert studies == [
+        {"nctid": "NCT1", "phase": "phase_3"},
+        {"nctid": "NCT2", "phase": "phase_2"},
+    ]
+
+
+def test_resolve_synonyms_fake_resolver_batches_and_retries(spark, tmp_path):
+    """Normalizer seam (reference plover.py:883-905): injected resolver is
+    called in <=batch_size chunks inside executors, transient failures
+    retry, and the output is the (alias -> preferred) map."""
+    from ploverdb_spark.sources.normalizer import resolve_synonyms
+
+    marker = tmp_path / "failed_once"
+
+    def fake(curies):
+        assert len(curies) <= 2, f"batch too large: {len(curies)}"
+        if not marker.exists():  # one transient failure, then healthy
+            marker.write_text("x")
+            raise RuntimeError("transient")
+        return {
+            c: ([c.replace("ALIAS", "PREF"), c] if c.startswith("ALIAS") else [c])
+            for c in curies
+        }
+
+    nodes = spark.createDataFrame(
+        [("ALIAS:1",), ("ALIAS:2",), ("ALIAS:3",), ("X:1",), ("X:2",)],
+        "id string",
+    )
+    syn = resolve_synonyms(
+        nodes, fake, batch_size=2, max_retries=3, backoff_sec=0.01
+    )
+    rows = {(r.alias_id, r.preferred_id) for r in syn.collect()}
+    assert rows == {
+        ("ALIAS:1", "PREF:1"),
+        ("ALIAS:2", "PREF:2"),
+        ("ALIAS:3", "PREF:3"),
+    }
+
+
+def test_build_uses_resolver_when_no_equiv_arrays(spark):
+    """convert_input_ids with no in-graph equivalent-id arrays routes
+    through the injected resolver; the resulting synonyms serve J4 alias
+    canonicalization."""
+    from ploverdb_spark.build.ingest import build_knowledge_graph
+    from ploverdb_spark.query.compiler import TrapiEngine
+
+    def fake(curies):
+        return {c: [c, f"OLD:{c.split(':')[1]}"] for c in curies}
+
+    nodes = spark.createDataFrame(
+        [
+            ("CHEM:1", "chem", ["biolink:SmallMolecule"]),
+            ("DIS:1", "dis", ["biolink:Disease"]),
+        ],
+        "id string, name string, all_categories array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "CHEM:1", "DIS:1", "biolink:treats", "infores:s", [])],
+        "id string, subject string, object string, predicate string, "
+        "primary_knowledge_source string, publications array<string>",
+    )
+    kg = build_knowledge_graph(nodes, edges, KgxConfig(), resolver=fake)
+    syn = {(r.alias_id, r.preferred_id) for r in kg.id_synonyms.collect()}
+    assert ("OLD:1", "CHEM:1") in syn
+    eng = TrapiEngine(kg, kp_infores_curie="infores:test")
+    assert eng.canonicalize_ids(["OLD:1"]) == {"OLD:1": "CHEM:1"}
+
+
 # -- meta KG (A1-A3) --------------------------------------------------------
 
 

@@ -138,3 +138,74 @@ def test_trapi_lookup_broadcasts_input(spark):
     serving = formatted_plan(answers).split("InMemoryRelation", 1)[0]
     assert "BroadcastHashJoin" in serving, serving
     assert "SortMergeJoin" not in serving, serving
+
+
+# -- bounded quadratic corners (dedup hot buckets / coarse blocks) ---------
+
+
+def test_lsh_hot_bucket_salted_and_bounded(spark):
+    """Buckets over max_bucket_size md5-salt into capped sub-buckets:
+    under the cap the pair set is the full within-bucket product; over it,
+    pairs form only within a sub-bucket (exactly reproducible from the
+    salt formula) and the per-bucket pair volume drops accordingly."""
+    import hashlib
+
+    from ploverdb_spark.operators import dedup as D
+
+    rows = [(i, "the same exact text for everyone here") for i in range(20)]
+    rows += [(100 + i, f"unique text number {i} with nothing shared x{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs)
+    base = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    # the 20 identical docs form one hot bucket -> all 190 pairs present
+    expected_hot = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert expected_hot <= base
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(sigs, max_bucket_size=4).collect()
+    }
+    assert capped < base
+    n_sub = -(-20 // 4)  # ceil(bucket_size / cap)
+    sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % n_sub
+        for i in range(20)
+    }
+    expected_capped = {
+        (a, b) for a in range(20) for b in range(20) if a < b and sub[a] == sub[b]
+    }
+    assert capped & expected_hot == expected_capped
+
+
+def test_neardup_block_cap_bounds_pair_space(spark):
+    """Blocks over max_block_size are md5-hash-split into capped
+    sub-blocks: output must exactly equal a Python recomputation of the
+    same deterministic split, and must be a strict subset of the uncapped
+    (quadratic) pair set."""
+    import hashlib
+
+    from ploverdb_spark.operators import dedup as D
+
+    rows = [(i, [float(i % 3), 1.0], 0) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_near_dups(emb, threshold=-1.1).collect()
+    }
+    assert len(full) == 66  # 12C2: one coarse label is corpus-quadratic
+
+    cap = 4
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_near_dups(emb, threshold=-1.1, max_block_size=cap).collect()
+    }
+    n_sub = -(-12 // cap)  # ceil
+    sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % n_sub
+        for i in range(12)
+    }
+    expected = {
+        (a, b) for a in range(12) for b in range(12) if a < b and sub[a] == sub[b]
+    }
+    assert capped == expected
+    assert capped < full

@@ -113,6 +113,35 @@ def test_symmetric_predicate_reverse_direction(engine):
     assert edges == {"e3"}
 
 
+def test_symmetric_doubly_pinned_single_result(engine):
+    # Both endpoints of symmetric e3 are in the pinned input AND output
+    # sets: edges_bidir matches it in both directions, but each answer
+    # edge belongs to exactly one result (ref plover.py:2339-2354) — no
+    # mirrored duplicate, no double-count toward the cutoff.
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["GENE:1", "GENE:2"]},
+            {"ids": ["GENE:1", "GENE:2"]},
+            "biolink:interacts_with",
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e3"}
+    results = resp["message"]["results"]
+    assert len(results) == 1
+    bound = [
+        b["id"]
+        for r in results
+        for b in r["analyses"][0]["edge_bindings"]["e00"]
+    ]
+    assert bound == ["e3"]
+    # the kept row is the forward traversal: subject binds to n00's input
+    nb = results[0]["node_bindings"]
+    assert [b["id"] for b in nb["n00"]] == ["GENE:1"]
+    assert [b["id"] for b in nb["n01"]] == ["GENE:2"]
+
+
 def test_asymmetric_predicate_forward_only(engine):
     # DIS:parent treats X -> nothing (treats edges point chem->disease)
     resp = run_query(
@@ -133,6 +162,62 @@ def test_asymmetric_predicate_reverse_binding(engine):
     resp = run_query(engine, qg)
     _, edges = answer_sets(resp)
     assert edges == {"e2"}
+
+
+# -- TRAPI attribute templates (ref plover.py:1424-1447, 2301-2320) --------
+
+def test_attribute_templates_applied(engine):
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
+    )
+    e1 = resp["message"]["knowledge_graph"]["edges"]["e1"]
+    attrs = {a["attribute_type_id"]: a for a in e1["attributes"]}
+    # templated property: attribute_source substitutes {kp_infores_curie}
+    kl = attrs["biolink:knowledge_level"]
+    assert kl["value"] == "knowledge_assertion"
+    assert kl["attribute_source"] == "infores:test-kp"
+    # templated with a row-reading placeholder: {primary_knowledge_source}
+    pubs = attrs["biolink:publications"]
+    assert pubs["value_type_id"] == "biolink:Uriorcurie"
+    assert pubs["attribute_source"] == "infores:src1"
+    assert sorted(pubs["value"]) == ["PMID:1", "PMID:2"]
+
+
+def test_attribute_template_default_and_override():
+    from ploverdb_spark.query.response import make_attribute
+
+    # untemplated property falls back to the bare biolink attribute
+    out = make_attribute("some_custom_prop", 7, "infores:kp")
+    assert out == {"attribute_type_id": "biolink:some_custom_prop", "value": 7}
+    # config override wins and {value} substitutes into value_url
+    shells = {
+        "some_custom_prop": {
+            "attribute_type_id": "biolink:Publication",
+            "value_url": "https://example.org/{value}",
+            "attribute_source": "{kp_infores_curie}",
+        }
+    }
+    out = make_attribute("some_custom_prop", "PMID:9", "infores:kp", shells)
+    assert out["value_url"] == "https://example.org/PMID:9"
+    assert out["attribute_source"] == "infores:kp"
+
+
+def test_hydrate_distributed_serializer_parity(engine, monkeypatch):
+    """The mapInPandas JSON serializer and the direct collect path must
+    produce byte-identical TRAPI nodes/edges (threshold forced to 1 to
+    exercise the distributed path on the small fixture)."""
+    import ploverdb_spark.query.response as R
+
+    qg = one_hop({"ids": ["CHEM:1"]}, {})
+    compiled, answers = engine.lookup(qg)
+    try:
+        direct = R.hydrate_knowledge_graph(engine, answers)
+        monkeypatch.setattr(R, "DISTRIBUTED_SERIALIZE_MIN_EDGES", 1)
+        distributed = R.hydrate_knowledge_graph(engine, answers)
+    finally:
+        answers.unpersist()
+    assert direct == distributed
 
 
 # -- canonical predicate handling (ref test_kg2c.py:344-387) ---------------
