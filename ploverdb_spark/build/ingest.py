@@ -340,7 +340,13 @@ def build_knowledge_graph(
     simply omit it.
     """
     config = config or KgxConfig()
-    model = model or default_model()
+    if model is None:
+        if config.biolink_model_path:
+            from ploverdb_spark.ontology.biolink_yaml import load_biolink_model
+
+            model = load_biolink_model(config.biolink_model_path)
+        else:
+            model = default_model()
     cat_prop = category_prop or config.node_category_property
     spark = nodes_raw.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -267,6 +267,82 @@ def ngram_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-group assignment: connected components over a candidate
+    pair list, returned as (doc_id, group_id) with group_id = the
+    component's minimum id.
+
+    Spark-first shape: iterative min-label propagation (the standard
+    large-graph CC algorithm) — per round, each node takes the min of its
+    own label and its neighbors' labels; work per round is one shuffle
+    join + one aggregation, and rounds = graph diameter (near-dup
+    components are shallow).  Intermediates are persisted per round and
+    released before returning, like build/closure.py's semi-naive loop.
+    """
+    # Symmetrize with ONE evaluation of the (possibly expensive) pairs
+    # plan: explode both orientations from each row instead of a
+    # self-union, which would run the upstream plan twice.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    und = sym.dropDuplicates(["src", "dst"]).persist()
+    intermediates = [und]
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    intermediates.append(labels)
+    # Static self-loops fold "keep your own label" into the SAME min
+    # aggregation as the neighbor labels — one join + one agg per round
+    # instead of join + agg + join.
+    und_self = und.unionByName(
+        labels.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).persist()
+    intermediates.append(und_self)
+    for _ in range(max_iter):
+        new_labels = (
+            und_self.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nlabel").alias("label"))
+            .persist()
+        )
+        intermediates.append(new_labels)
+        converged = (
+            new_labels.join(labels, on=["node", "label"], how="left_anti")
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    ).localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, accumulated in double
     with a fixed left-to-right fold (bit-identical across engines).

@@ -125,13 +125,21 @@ def sample_frames(
     )
 
 
-def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_as_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media_type: str = "image",
+) -> DataFrame:
     """Adapter used by tests/bench: treats utf-8 text bytes as an opaque
-    payload so the media pipeline can run against the documents table."""
+    payload so the media pipeline can run against the documents table.
+    ``media_type`` selects the fake-decode branch ('image' is single
+    frame; 'video'/'audio' derive frame count and duration from the
+    payload hash)."""
     return df.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit("image").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
         F.struct(
             F.lit("documents").alias("source"),
             F.lit("txt").alias("declared_format"),

@@ -182,9 +182,7 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d2_minhash_lsh_pairs",
-    oracle=f"""
+_D2_ORACLE = f"""
     WITH corpus AS ({_DOUBLED}),
     tk AS (
       SELECT doc_id, {_TOKENS} AS toks FROM corpus
@@ -216,7 +214,12 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@register(
+    "d2_minhash_lsh_pairs",
+    oracle=_D2_ORACLE,
     doc="MinHash+LSH near-dup candidates: word-3-gram shingles -> 8 "
     "md5-derived minhashes -> 4 bands -> bucket self-join. The scale path: "
     "candidate pairs only form within a band bucket.",
@@ -224,6 +227,32 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(_doubled_docs(spark, sf_dir))
     return D.lsh_candidate_pairs(sigs)
+
+
+@register(
+    "d6_dup_groups",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_D2_ORACLE}),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.dst, r.m FROM reach r JOIN und u ON u.src = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS group_id FROM reach GROUP BY n
+    """,
+    doc="Duplicate-group assignment: connected components over the LSH "
+    "candidate pairs via iterative min-label propagation (one shuffle "
+    "join + agg per round, rounds = component diameter). The oracle walks "
+    "the same graph with a recursive CTE.",
+)
+def d6_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    return D.connected_components(pairs)
 
 
 @register(
@@ -460,3 +489,30 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = M.text_as_media(docs)
     return M.extract_media_features(media)
+
+
+@register(
+    "m2_frame_samples",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ), f AS (
+      SELECT media_id,
+             1 + {_md5_byte(2)} AS n_frames,
+             CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+             CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height
+      FROM m
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_index,
+           width, height
+    FROM f
+    """,
+    doc="Frame-sampling plumbing over 'video' media: every-2nd frame index "
+    "exploded from the decoded frame count (md5-derived fake codec) — the "
+    "explode shape that matters for partitioning is real and oracle-exact.",
+)
+def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs, media_type="video")
+    return M.sample_frames(media, every_nth=2)

@@ -33,6 +33,12 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
+    # Spark 4.1's checksummed checkpoint writer deadlocks its async
+    # commit on local-FS stateful-streaming state stores (observed:
+    # HDFSBackedStateStore.commit stuck in
+    # ChecksumCheckpointFileManager.awaitResult); plain checkpoint files
+    # are fine for this engine's streaming operators.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

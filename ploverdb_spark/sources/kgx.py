@@ -83,6 +83,11 @@ class KgxConfig:
     # Per-KP overrides of the default TRAPI attribute shells
     # (reference kg_config["trapi_attribute_map"], plover.py:1441-1445).
     trapi_attribute_map: dict[str, dict] = field(default_factory=dict)
+    # Path to a biolink-model.yaml to load the full ontology from
+    # (reference BiolinkHelper(biolink_version, ...) downloads the
+    # versioned model; deployments here point at a staged copy).  None ->
+    # the curated offline subset.
+    biolink_model_path: str | None = None
 
 
 _NULL_SENTINELS = ("", "none", "null")

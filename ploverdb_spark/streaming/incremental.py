@@ -74,6 +74,87 @@ def stream_edge_deltas(
     return writer.start()
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+):
+    """Custom stateful streaming operator (SURVEY §2.10): per-user
+    sessionization over an event stream via ``applyInPandasWithState`` —
+    the streaming twin of the batch ``w1_sessionize`` query.
+
+    Semantics: events for a user accumulate into the open session held in
+    group state; a gap over ``gap_sec`` inside the arriving data closes
+    the current session immediately (emitted downstream, append mode);
+    the final open session closes when the processing-time timeout fires
+    (no events for ``gap_sec``).  State per user is three longs — bounded
+    regardless of stream length, which is the whole point of the custom
+    operator vs. a window function (an unbounded ORDER BY over a stream
+    does not exist).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long, n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start": [start],
+                    "session_end": [end],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf[ts_col])
+        ts.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_sec:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        if start is not None:
+            state.update((start, end, n))
+            state.setTimeoutDuration(gap_sec * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def edge_rate_monitor(
     edges_stream: DataFrame,
     ts_col: str = "ingested_at",

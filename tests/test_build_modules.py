@@ -143,6 +143,36 @@ def test_subclass_fallback_from_remote_file(spark, tmp_path):
     assert pairs2 == {("DIS:parent", "DIS:child")}
 
 
+def test_build_with_biolink_model_path(spark, tmp_path):
+    """config.biolink_model_path loads the full YAML model into the build
+    (reference BiolinkHelper(biolink_version) semantics) instead of the
+    curated offline subset."""
+    from ploverdb_spark.build.ingest import build_knowledge_graph
+    from ploverdb_spark.ontology.biolink_lite import default_model
+    from tests.test_biolink_yaml import MODEL_SLICE
+
+    p = tmp_path / "biolink-model.yaml"
+    p.write_text(MODEL_SLICE)
+    nodes = spark.createDataFrame(
+        [("CHEM:1", "chem", ["biolink:SmallMolecule"]), ("DIS:1", "dis", ["biolink:Disease"])],
+        "id string, name string, all_categories array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "CHEM:1", "DIS:1", "biolink:treats", "infores:s", [])],
+        "id string, subject string, object string, predicate string, "
+        "primary_knowledge_source string, publications array<string>",
+    )
+    kg = build_knowledge_graph(
+        nodes, edges, KgxConfig(biolink_model_path=str(p))
+    )
+    assert kg.model is not default_model()
+    assert kg.model.canonical_form("biolink:treated_by") == "biolink:treats"
+    # qualifier enums came from the YAML slice, not the curated fallback
+    # (the slice has no 'expression' aspect value; the curated table does)
+    assert "increased" in kg.model.qualifier_value_parents
+    assert "expression" not in kg.model.qualifier_value_parents
+
+
 def test_normalize_dedupes_supporting_studies_by_nctid(spark):
     """Reference plover.py:1097-1100: under normalize, each edge's
     supporting_studies dedupe by nctid — first-occurrence key order, last
@@ -422,5 +452,67 @@ def test_stream_edge_deltas(spark, tmp_path):
         after = spark.read.parquet(f"{out}/edges_bidir.parquet")
         assert after.where(F.col("id") == "e1").count() == 2  # not duplicated
         assert after.where(F.col("id") == "e2").count() == 2
+    finally:
+        q.stop()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a within-batch gap closes a
+    session immediately (append-mode emission); the open session stays in
+    bounded per-user state."""
+    from ploverdb_spark.streaming.incremental import stream_sessionize
+
+    drop = tmp_path / "events"
+    drop.mkdir()
+    rows = [
+        # user 1: two sessions split by a > 60s gap, second still open
+        {"user_id": 1, "ts_sec": 100},
+        {"user_id": 1, "ts_sec": 130},
+        {"user_id": 1, "ts_sec": 135},
+        {"user_id": 1, "ts_sec": 300},
+        # user 2: one (still open) session
+        {"user_id": 2, "ts_sec": 110},
+    ]
+    (drop / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = spark.createDataFrame([], "user_id long, ts_sec long").schema
+    stream = spark.readStream.schema(schema).json(str(drop))
+    out = stream_sessionize(stream, gap_sec=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def rows_when(n_expected: int, deadline_sec: int = 90):
+        # ProcessingTimeTimeout keeps scheduling state-cleanup batches, so
+        # processAllAvailable never settles — poll the sink instead.
+        import time
+
+        deadline = time.time() + deadline_sec
+        while time.time() < deadline:
+            got = {
+                (r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.sql("SELECT * FROM sess_test").collect()
+            }
+            if len(got) >= n_expected:
+                return got
+            time.sleep(1)
+        return got
+
+    try:
+        # only user 1's first session closes (gap 135 -> 300 > 60s)
+        assert rows_when(1) == {(1, 100, 135, 3)}
+
+        # a second batch for user 1 extends the OPEN session (ts 320,
+        # within 60s of 300) and a far event closes it
+        (drop / "b2.jsonl").write_text(
+            json.dumps({"user_id": 1, "ts_sec": 320})
+            + "\n"
+            + json.dumps({"user_id": 1, "ts_sec": 1000})
+        )
+        assert rows_when(2) == {(1, 100, 135, 3), (1, 300, 320, 2)}
     finally:
         q.stop()
