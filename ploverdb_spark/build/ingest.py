@@ -440,6 +440,73 @@ def write_artifacts(kg: KnowledgeGraph, out_dir: str, bidir_buckets: int = 0) ->
     kg.id_synonyms.write.mode("overwrite").parquet(f"{out_dir}/id_synonyms.parquet")
 
 
+def write_artifacts_bucketed(
+    kg: KnowledgeGraph,
+    out_dir: str,
+    prefix: str = "plover",
+    buckets: int = 64,
+) -> dict[str, str]:
+    """Persist the serving tables BUCKETED on their lookup keys via
+    ``saveAsTable`` (external tables rooted at ``out_dir``).
+
+    Why this matters at 100 TB: ``edges_bidir`` bucketed+sorted by
+    ``node_id`` gives point lookups bucket pruning — a query pinned to k
+    node ids scans k/``buckets`` of the index (the physical plan shows
+    ``SelectedBucketsCount``), and any self-join or groupBy on the bucket
+    key skips its shuffle entirely.  Plain parquet (``write_artifacts``)
+    cannot carry bucket metadata.
+
+    Serving deployments must set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``:
+    Spark's planner otherwise falls back to a regular (non-bucketed) scan
+    for filter-only queries, and bucket pruning only applies to bucketed
+    scans.  The trade (scan tasks capped at ``buckets``) is right for
+    point-lookup serving; size ``buckets`` to the cluster's cores.
+
+    Returns {logical_name: table_name} for the tables written.
+    """
+    spark = kg.nodes.sparkSession
+    tables = {}
+
+    def save(df: DataFrame, name: str, bucket_col: str | None) -> None:
+        table = f"{prefix}_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = df.write.mode("overwrite").format("parquet").option(
+            "path", f"{out_dir}/{table}"
+        )
+        if bucket_col is not None:
+            writer = writer.bucketBy(buckets, bucket_col).sortBy(bucket_col)
+        writer.saveAsTable(table)
+        tables[name] = table
+
+    save(kg.nodes, "nodes", "id")
+    save(kg.edges, "edges", None)
+    save(kg.edges_bidir, "edges_bidir", "node_id")
+    save(kg.subclass_closure, "subclass_closure", "ancestor")
+    save(kg.id_synonyms, "id_synonyms", "alias_id")
+    return tables
+
+
+def read_artifacts_bucketed(
+    spark: SparkSession,
+    prefix: str = "plover",
+    config: KgxConfig | None = None,
+    model: BiolinkLite | None = None,
+) -> KnowledgeGraph:
+    """Serve from bucketed artifact tables written by
+    :func:`write_artifacts_bucketed` (bucket metadata only survives via
+    the table catalog, so this reads ``spark.table``, not raw parquet)."""
+    return KnowledgeGraph(
+        nodes=spark.table(f"{prefix}_nodes"),
+        edges=spark.table(f"{prefix}_edges"),
+        edges_bidir=spark.table(f"{prefix}_edges_bidir"),
+        subclass_closure=spark.table(f"{prefix}_subclass_closure"),
+        id_synonyms=spark.table(f"{prefix}_id_synonyms"),
+        model=model or default_model(),
+        config=config or KgxConfig(),
+    )
+
+
 def read_artifacts(
     spark: SparkSession,
     out_dir: str,

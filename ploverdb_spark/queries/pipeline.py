@@ -364,6 +364,64 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c1_clean_corpus",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED}),
+    t AS (
+      SELECT doc_id, text, {_TOKENS} AS toks FROM corpus
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / GREATEST(length(text), 1) AS punct_ratio_raw,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it'], x)))
+               / GREATEST(len(toks), 1) AS stop_ratio_raw,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / GREATEST(len(toks), 1) AS mean_token_len,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS score_en,
+             len(list_filter(toks, x -> list_contains(['der','und','das','ist'], x))) AS score_de,
+             len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS score_fr,
+             len(list_filter(toks, x -> list_contains(['el','y','los','es'], x))) AS score_es
+      FROM t
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             ROUND(0.4 * stop_ratio_raw + 0.3 * (1.0 - punct_ratio_raw)
+                   + 0.3 * LEAST(mean_token_len / 10.0, 1.0), 6) AS quality_score,
+             CASE
+               WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+               WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+               WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+               WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+               ELSE 'es'
+             END AS predicted_lang
+      FROM s
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    )
+    SELECT q.doc_id, n_tokens, quality_score, predicted_lang
+    FROM q JOIN keep USING (doc_id)
+    WHERE quality_score >= 0.4 AND n_tokens >= 20
+    """,
+    doc="End-to-end corpus cleaning (the composed pipeline a training-data "
+    "run actually executes): exact dedup keeps each content group's "
+    "minimum id, joined with quality scoring and language ID, filtered on "
+    "quality and length — three operators, one declarative plan, every "
+    "stage shuffle-bounded.",
+)
+def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doubled_docs(spark, sf_dir)
+    quality = T.quality_scores(corpus).select("doc_id", "n_tokens", "quality_score")
+    lang = T.language_id(corpus).select("doc_id", "predicted_lang")
+    keep = D.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    return (
+        quality.join(keep, on="doc_id", how="left_semi")
+        .join(lang, on="doc_id")
+        .where((F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20))
+    )
+
+
 # -- similarity search ------------------------------------------------------
 
 

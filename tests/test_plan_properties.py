@@ -209,3 +209,42 @@ def test_neardup_block_cap_bounds_pair_space(spark):
     }
     assert capped == expected
     assert capped < full
+
+
+def test_bucketed_artifacts_prune_buckets(spark, tmp_path):
+    """write_artifacts_bucketed: a point lookup on the bucketed serving
+    table scans only the matching buckets (SelectedBucketsCount in the
+    scan) — the 100 TB point-lookup path."""
+    from pyspark.sql import functions as F
+
+    from ploverdb_spark.build.ingest import (
+        read_artifacts_bucketed,
+        write_artifacts_bucketed,
+    )
+    from ploverdb_spark.plans.checks import formatted_plan
+    from ploverdb_spark.queries.graph import graft_engine
+    from tests.conftest import SF_SMOKE
+
+    eng = graft_engine(spark, SF_SMOKE)
+    write_artifacts_bucketed(
+        eng.kg, str(tmp_path / "warehouse"), prefix="bktest", buckets=16
+    )
+    kg = read_artifacts_bucketed(spark, prefix="bktest")
+    lookup = kg.edges_bidir.where(F.col("node_id").isin("N:0", "N:1"))
+    # point-lookup serving stance: without this the planner falls back to
+    # a non-bucketed scan for filter-only queries and never prunes
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = formatted_plan(lookup)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+    assert "SelectedBucketsCount" in plan, plan
+    # two ids -> at most two of 16 buckets scanned
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) <= 2 and int(m.group(2)) == 16, plan
+    # data round-trips
+    assert kg.edges_bidir.count() == eng.kg.edges_bidir.count()
