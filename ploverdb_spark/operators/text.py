@@ -51,13 +51,9 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/punctuation/stopword quality signals + a composite score.
-
-    All ratios are single divisions (order-independent, oracle-exact).
-    """
-    t = F.col(text_col)
-    toks = ws_tokens(F.lower(t))
+def _quality_cols(t: Column, toks: Column) -> dict[str, Column]:
+    """Quality signal columns (shared by quality_scores/text_features).
+    All ratios are single divisions (order-independent, oracle-exact)."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -72,20 +68,17 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(mean_token_len / F.lit(10.0), F.lit(1.0))
     )
-    return df.select(
-        "doc_id",
-        F.length(t).alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
-    )
+    return {
+        "n_chars_actual": F.length(t),
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic: count marker hits per language,
-    argmax with fixed precedence (en > de > fr > es > und)."""
-    toks = ws_tokens(F.lower(F.col(text_col)))
+def _lang_cols(toks: Column) -> dict[str, Column]:
+    """Language-ID columns (shared by language_id/text_features)."""
 
     def marker_hits(markers: tuple[str, ...]):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -101,13 +94,34 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted = F.when(
             (scores[lang] == best) & (best > 0), F.lit(lang)
         ).otherwise(predicted)
-    # one select: predicted references the text column, which the
-    # projection drops
-    return df.select(
-        "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        predicted.alias("predicted_lang"),
-    )
+    out = {f"score_{lang}": scores[lang] for lang in langs}
+    out["predicted_lang"] = predicted
+    return out
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality signals + a composite score."""
+    t = F.col(text_col)
+    cols = _quality_cols(t, ws_tokens(F.lower(t)))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language,
+    argmax with fixed precedence (en > de > fr > es > und)."""
+    cols = _lang_cols(ws_tokens(F.lower(F.col(text_col))))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality + language features in ONE projection — the composed form
+    pipelines should use: Catalyst cannot merge two separate per-feature
+    scan branches joined on doc_id, so asking for each feature separately
+    re-reads the corpus once per feature at 100 TB."""
+    t = F.col(text_col)
+    toks = ws_tokens(F.lower(t))
+    cols = {**_quality_cols(t, toks), **_lang_cols(toks)}
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
 def fingerprints(

@@ -412,13 +412,12 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _doubled_docs(spark, sf_dir)
-    quality = T.quality_scores(corpus).select("doc_id", "n_tokens", "quality_score")
-    lang = T.language_id(corpus).select("doc_id", "predicted_lang")
+    feats = T.text_features(corpus).select(
+        "doc_id", "n_tokens", "quality_score", "predicted_lang"
+    )
     keep = D.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
-    return (
-        quality.join(keep, on="doc_id", how="left_semi")
-        .join(lang, on="doc_id")
-        .where((F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20))
+    return feats.join(keep, on="doc_id", how="left_semi").where(
+        (F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20)
     )
 
 

@@ -248,3 +248,22 @@ def test_bucketed_artifacts_prune_buckets(spark, tmp_path):
     assert m and int(m.group(1)) <= 2 and int(m.group(2)) == 16, plan
     # data round-trips
     assert kg.edges_bidir.count() == eng.kg.edges_bidir.count()
+
+
+def test_c1_single_feature_scan(spark):
+    """The composed cleaning pipeline computes quality + language in ONE
+    projection, so the only joins are the two dedup semi-joins Catalyst
+    makes by pushing the keep-filter through the doubled-corpus union
+    (whose duplicated broadcast side is deduplicated by exchange reuse at
+    runtime).  A per-feature shape would add a quality<->language join
+    and a third scan branch."""
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("c1_clean_corpus").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    joins = set(re.findall(r"\((\d+)\) \w*HashJoin", plan))
+    assert len(joins) <= 2, plan
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 6, plan
