@@ -113,6 +113,48 @@ def ivf_centroids(
     )
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    assignment_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learned IVF cells: Lloyd's k-means by cosine, fully deterministic
+    so a SQL oracle can replay it exactly.
+
+    - init: centroid j = the vector whose id is j (fixed seeds, no RNG);
+    - assignment: argmax quantized-cosine, ties to the smallest cell id
+      (one broadcast of K x dim; the scored set is |corpus| x K rows but
+      never materializes — row_number keeps the top-1 per vector);
+    - update: int64-quantized elementwise mean (:func:`ivf_centroids`) —
+      exact integer sums, so accumulation order cannot perturb centroids.
+
+    ``assignment_rounds`` assignments run with centroid updates between
+    them (2 rounds = assign -> update -> assign).  Returns (id, cell).
+    """
+    qcos = quantized_cosine_udf()
+    centroids = embeddings.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centroid")
+    )
+    assign = None
+    for r in range(assignment_rounds):
+        scored = (
+            embeddings.select(id_col, vec_col)
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("sim", qcos(F.col(vec_col), F.col("centroid")))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, vec_col, "cell")
+        )
+        if r < assignment_rounds - 1:
+            centroids = ivf_centroids(assign, cell_col="cell", vec_col=vec_col)
+    return assign.select(id_col, "cell")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

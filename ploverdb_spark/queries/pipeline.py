@@ -508,6 +508,61 @@ def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s3_kmeans_cells",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_qcos('e.embedding', 'c.centroid')} DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent0 c
+      ) WHERE rn = 1
+    ), ex1 AS (
+      SELECT cell,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM a0
+    ), cq1 AS (
+      SELECT cell, pos,
+             SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+               AS qsum,
+             COUNT(*) AS n
+      FROM ex1 GROUP BY cell, pos
+    ), cent1 AS (
+      SELECT cell,
+             list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0)
+                  ORDER BY pos) AS centroid
+      FROM cq1 GROUP BY cell
+    ), a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_qcos('e.embedding', 'c.centroid')} DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent1 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM a1
+    """,
+    doc="Learned IVF cells: two Lloyd's k-means assignment rounds by "
+    "cosine with one centroid update between them — deterministic seeds "
+    "(centroid j = vector j) and int64-quantized centroid means make the "
+    "whole iteration bit-replayable in SQL. The scale path for similarity "
+    "search when no labels exist.",
+)
+def s3_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.kmeans_assign(
+        load(spark, sf_dir, "embeddings"), k=8, assignment_rounds=2
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
