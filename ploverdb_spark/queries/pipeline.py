@@ -424,9 +424,7 @@ def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- similarity search ------------------------------------------------------
 
 
-@register(
-    "s1_cosine_topk",
-    oracle=f"""
+_S1_ORACLE = f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_qcos('q.embedding', 'c.embedding')} AS cos_raw
@@ -440,7 +438,12 @@ def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos
     FROM ranked WHERE rank <= 10
-    """,
+"""
+
+
+@register(
+    "s1_cosine_topk",
+    oracle=_S1_ORACLE,
     doc="Brute-force cosine top-k (correctness baseline for ANN): "
     "broadcast query set x one corpus scan + per-query window top-k; "
     "int64-quantized cosine keeps Spark and the oracle bit-identical.",
@@ -451,9 +454,7 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s2_ivf_topk",
-    oracle=f"""
+_S2_ORACLE = f"""
     WITH ex AS (
       SELECT label AS cell,
              unnest(range(1, len(embedding) + 1)) AS pos,
@@ -496,7 +497,12 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos
     FROM ranked WHERE rank <= 10
-    """,
+"""
+
+
+@register(
+    "s2_ivf_topk",
+    oracle=_S2_ORACLE,
     doc="IVF approximate top-k (the 100 TB scale path): per-cell centroids "
     "via distributed elementwise mean, queries probe nearest cell only. "
     "Centroid components are int64-quantized before summing (exact integer "
@@ -505,6 +511,46 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+@register(
+    "s4_ivf_recall",
+    oracle=f"""
+    WITH exact_topk AS ({_S1_ORACLE}),
+    approx_topk AS ({_S2_ORACLE})
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact_topk e
+    LEFT JOIN approx_topk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc="ANN evaluation: recall@10 of the IVF index against the exact "
+    "brute-force baseline, per query — the quality gate every ANN "
+    "deployment runs before trusting the approximate path.",
+)
+def s4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        how="left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor_id").alias("n_hits"),
+        (F.count("a_neighbor_id").cast("double") / F.lit(10)).alias(
+            "recall_at_10"
+        ),
     )
 
 
