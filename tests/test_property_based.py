@@ -1,0 +1,94 @@
+"""Property-based checks (hypothesis) for the custom distributed
+algorithms: random inputs, compared against simple driver-side reference
+implementations.  Example counts are kept small — every example runs real
+Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+pair_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: classic union-find, group id = component minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list[int]] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@settings(max_examples=8, deadline=None)
+@given(pair_lists)
+def test_connected_components_matches_union_find(spark, pairs):
+    from ploverdb_spark.operators.dedup import connected_components
+
+    ordered = [(min(a, b), max(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(ordered, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.group_id for r in connected_components(df, max_iter=40).collect()
+    }
+    assert got == _union_find_groups(ordered)
+
+
+scored_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # query_id
+        st.integers(0, 60),  # neighbor_id
+        st.integers(-1000, 1000),  # score millis (exact when /1000 in f64)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(scored_rows)
+def test_salted_topk_equals_single_window(spark, rows):
+    """topk_per_query's two-phase salted ranking must be indistinguishable
+    from the naive single-window form (same tie-break)."""
+    from pyspark.sql import Window
+
+    from ploverdb_spark.operators.similarity import topk_per_query
+
+    df = spark.createDataFrame(
+        [(q, n, s / 1000.0) for q, n, s in rows],
+        "query_id long, neighbor_id long, cos double",
+    )
+    k = 5
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in topk_per_query(df, k).collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    expected = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .collect()
+    }
+    assert got == expected
