@@ -231,25 +231,30 @@ def _rebuild(registry: KpRegistry, payload: dict, endpoint: str | None) -> dict:
     from ploverdb_spark.build.ingest import build_knowledge_graph, write_artifacts
     from ploverdb_spark.sources.kgx import KgxConfig, read_kgx_auto
 
-    config = KgxConfig(**payload.get("config", {}))
-    spark = old.spark
-    nodes = read_kgx_auto(spark, nodes_file, config, required=("id",))
-    edges = read_kgx_auto(
-        spark, edges_file, config, required=("subject", "predicate", "object")
-    )
-    kg = build_knowledge_graph(
-        nodes,
-        edges,
-        config,
-        provenance_files=[nodes_file, edges_file],
-    ).persist()
-    engine = TrapiEngine(
-        kg,
-        kp_infores_curie=old.kp_infores_curie,
-        answer_cutoff=config.num_edges_per_answer_cutoff,
-    )
-    if payload.get("artifacts_dir"):
-        write_artifacts(kg, payload["artifacts_dir"])
+    try:
+        config = KgxConfig(**payload.get("config", {}))
+        spark = old.spark
+        nodes = read_kgx_auto(spark, nodes_file, config, required=("id",))
+        edges = read_kgx_auto(
+            spark, edges_file, config, required=("subject", "predicate", "object")
+        )
+        kg = build_knowledge_graph(
+            nodes,
+            edges,
+            config,
+            provenance_files=[nodes_file, edges_file],
+        ).persist()
+        engine = TrapiEngine(
+            kg,
+            kp_infores_curie=old.kp_infores_curie,
+            answer_cutoff=config.num_edges_per_answer_cutoff,
+        )
+        if payload.get("artifacts_dir"):
+            write_artifacts(kg, payload["artifacts_dir"])
+    except Exception as e:  # noqa: BLE001 — reference 500s on any rebuild
+        # failure and keeps the old engine serving (rebuild_main.py:62-64);
+        # the registry is only swapped after a fully-built engine exists
+        raise QueryError(500, f"Rebuild failed: {e}") from e
     registry.swap(name, engine)
     return {
         "message": f"Rebuild of '{name}' done. Took "

@@ -358,3 +358,58 @@ def test_provenance_node_injected(spark):
     prov = kg.nodes.where(kg.nodes.id == "ploverdb_spark:build").collect()
     assert len(prov) == 1
     assert "nodes.tsv" in prov[0]["description"]
+
+
+def test_http_frontend_routes(registry):
+    """The stdlib HTTP frontend serves the same semantics as handle():
+    GET meta/health, POST query (with and without KP prefix), 404s, and
+    rebuild auth — all over real sockets."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ploverdb_spark.http_frontend import serve
+
+    server = serve(registry, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(f"{base}{path}", timeout=120) as r:
+            return r.status, _json.loads(r.read() or b'""')
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{base}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        assert get("/healthcheck") == (200, "")
+        status, meta = get("/meta_knowledge_graph")
+        assert status == 200 and "edges" in meta
+        # default endpoint and explicit KP prefix serve identically
+        s1, body1 = post("/query", QG)
+        s2, body2 = post("/graft/query", QG)
+        assert s1 == s2 == 200
+        assert body1["message"]["results"] and body2["message"]["results"]
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get("/nope")
+        assert exc.value.code == 404
+        # rebuild without a configured token -> 401
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/rebuild", {"token": "x"})
+        assert exc.value.code == 401
+        # malformed JSON body -> 400
+        req = urllib.request.Request(
+            f"{base}/query", data=b"{not json", headers={}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
