@@ -115,6 +115,75 @@ def transitive_closure(
     return closure
 
 
+def extend_closure(
+    closure: DataFrame, new_edges: DataFrame, max_rounds: int = MAX_DEPTH
+) -> DataFrame:
+    """Incremental closure maintenance: fold a batch of NEW parent->child
+    edges into an existing transitively-closed (ancestor, descendant) set
+    without recomputing from scratch.
+
+    Every reachability pair introduced by the batch decomposes into an
+    alternation of base-closure hops and new edges, so the fixpoint
+
+        delta := delta ∪ base∘delta ∪ delta∘base ∪ delta∘delta
+
+    (seeded with the batch edges; ``∘`` is relational composition)
+    enumerates exactly the new pairs.  Each round joins the SMALL delta
+    against the base — work scales with the delta's neighborhood, not the
+    graph — and ``delta∘delta`` doubles the number of new-edge traversals
+    a path may use per round, so convergence takes O(log alternation
+    length) rounds.  This is the batch-side counterpart the streaming
+    ingest (``stream_edge_deltas``) calls per micro-batch; the full
+    :func:`transitive_closure` remains the from-scratch builder.
+    """
+    base = closure.select("ancestor", "descendant").persist()
+    intermediates = [base]
+    delta = (
+        new_edges.select(
+            F.col("parent").alias("ancestor"), F.col("child").alias("descendant")
+        )
+        .where(F.col("ancestor") != F.col("descendant"))
+        .dropDuplicates(["ancestor", "descendant"])
+        .join(base, on=["ancestor", "descendant"], how="left_anti")
+        .persist()
+    )
+    intermediates.append(delta)
+
+    def compose(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(
+            right.select(
+                F.col("ancestor").alias("descendant"),
+                F.col("descendant").alias("__d"),
+            ),
+            on="descendant",
+        ).select("ancestor", F.col("__d").alias("descendant"))
+
+    for _ in range(max_rounds):
+        grown = (
+            compose(delta, base)
+            .unionByName(compose(base, delta))
+            .unionByName(compose(delta, delta))
+            .where(F.col("ancestor") != F.col("descendant"))
+            .dropDuplicates(["ancestor", "descendant"])
+        )
+        fresh = grown.join(
+            base, on=["ancestor", "descendant"], how="left_anti"
+        ).join(delta, on=["ancestor", "descendant"], how="left_anti").persist()
+        intermediates.append(fresh)
+        if fresh.isEmpty():
+            break
+        delta = delta.unionByName(fresh).persist()
+        intermediates.append(delta)
+    out = (
+        base.unionByName(delta)
+        .dropDuplicates(["ancestor", "descendant"])
+        .localCheckpoint(eager=True)
+    )
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def closure_report(closure: DataFrame, top_n: int = 50) -> dict:
     """A7 (reference plover.py:1666-1715): descendant-count statistics,
     top-N largest parents, and a CURIE-prefix histogram — build-time

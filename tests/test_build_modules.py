@@ -516,3 +516,25 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         assert rows_when(2) == {(1, 100, 135, 3), (1, 300, 320, 2)}
     finally:
         q.stop()
+
+
+def test_extend_closure_interleaved_paths(spark):
+    """Incremental closure: a path alternating new-base-new edges
+    (p->c new, c->x base, x->y new) must surface (p, y) — the case a
+    single-expansion delta formula misses."""
+    from ploverdb_spark.build.closure import extend_closure, transitive_closure
+
+    base_edges = spark.createDataFrame([("c", "x")], "parent string, child string")
+    base = transitive_closure(base_edges, prune_prefix=None)
+    new = spark.createDataFrame(
+        [("p", "c"), ("x", "y")], "parent string, child string"
+    )
+    got = {(r.ancestor, r.descendant) for r in extend_closure(base, new).collect()}
+    assert got == {
+        ("c", "x"),
+        ("p", "c"),
+        ("x", "y"),
+        ("p", "x"),
+        ("c", "y"),
+        ("p", "y"),
+    }

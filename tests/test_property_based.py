@@ -92,3 +92,48 @@ def test_salted_topk_equals_single_window(spark, rows):
         .collect()
     }
     assert got == expected
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_lists, st.integers(0, 2**31 - 1))
+def test_extend_closure_matches_full_recompute(spark, edges, seed):
+    """Folding a random split of the edge set into an existing closure
+    must equal closing everything from scratch (cycles included — the
+    bounded loops make them safe)."""
+    import random
+
+    from ploverdb_spark.build.closure import extend_closure, transitive_closure
+
+    rng = random.Random(seed)
+    split = max(1, len(edges) // 2)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    base_e, new_e = shuffled[:split], shuffled[split:]
+    schema = "parent int, child int"
+    base = transitive_closure(
+        spark.createDataFrame(base_e, schema), prune_prefix=None
+    )
+    if not new_e:
+        new_e = [base_e[0]]
+    got = {
+        (r.ancestor, r.descendant)
+        for r in extend_closure(
+            base, spark.createDataFrame(new_e, schema)
+        ).collect()
+    }
+    expected = {
+        (r.ancestor, r.descendant)
+        for r in transitive_closure(
+            spark.createDataFrame(edges, schema), prune_prefix=None
+        ).collect()
+    }
+    assert got == expected
