@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ploverdb_spark.build.closure import extend_closure, subclass_edges
 from ploverdb_spark.build.ingest import build_edges_bidir, flip_noncanonical_edges
 from ploverdb_spark.ontology.biolink_lite import BiolinkLite, default_model
 
@@ -43,7 +44,10 @@ def stream_edge_deltas(
     Each micro-batch runs the batch build transforms (canonical flip,
     bidirectional expansion) and appends rows not already present (by edge
     id).  ``foreachBatch`` gives exactly-once appends with the parquet
-    sink + checkpoint.
+    sink + checkpoint.  Batches carrying subclass edges also fold them
+    into the subclass-closure artifact via :func:`extend_closure` — the
+    delta-fixpoint incremental maintenance, so ontology reasoning stays
+    current without a full closure rebuild.
     """
     model = model or default_model()
     raw = (
@@ -52,21 +56,36 @@ def stream_edge_deltas(
         .json(drop_dir)
     )
 
-    existing_ids = None
-
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        session = batch_df.sparkSession
         edges = flip_noncanonical_edges(batch_df, model)
         bidir = build_edges_bidir(edges, nodes)
         try:
-            current = batch_df.sparkSession.read.parquet(f"{out_dir}/edges_bidir.parquet")
+            current = session.read.parquet(f"{out_dir}/edges_bidir.parquet")
             bidir = bidir.join(
                 current.select("id").distinct(), on="id", how="left_anti"
             )
         except Exception:
             pass  # first batch: artifact does not exist yet
         bidir.write.mode("append").parquet(f"{out_dir}/edges_bidir.parquet")
+
+        sub_pairs = subclass_edges(edges)
+        if not sub_pairs.isEmpty():
+            closure_path = f"{out_dir}/subclass_closure.parquet"
+            try:
+                closure = session.read.parquet(closure_path).select(
+                    "ancestor", "descendant"
+                )
+            except Exception:
+                closure = session.createDataFrame(
+                    [], "ancestor string, descendant string"
+                )
+            updated = extend_closure(closure, sub_pairs)
+            # localCheckpoint in extend_closure materialized the result,
+            # so overwriting the artifact it was read from is safe
+            updated.write.mode("overwrite").parquet(closure_path)
 
     writer = raw.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint_dir:

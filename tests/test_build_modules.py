@@ -452,6 +452,20 @@ def test_stream_edge_deltas(spark, tmp_path):
         after = spark.read.parquet(f"{out}/edges_bidir.parquet")
         assert after.where(F.col("id") == "e1").count() == 2  # not duplicated
         assert after.where(F.col("id") == "e2").count() == 2
+
+        # a batch carrying a subclass edge incrementally maintains the
+        # closure artifact (extend_closure, no full rebuild)
+        (drop / "batch3.jsonl").write_text(
+            json.dumps(
+                {"id": "e3", "subject": "A:1", "object": "A:2",
+                 "predicate": "biolink:subclass_of"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        closure = spark.read.parquet(f"{out}/subclass_closure.parquet")
+        pairs = {(r.ancestor, r.descendant) for r in closure.collect()}
+        assert pairs == {("A:2", "A:1")}
     finally:
         q.stop()
 

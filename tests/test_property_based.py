@@ -103,7 +103,7 @@ edge_lists = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(edge_lists, st.integers(0, 2**31 - 1))
 def test_extend_closure_matches_full_recompute(spark, edges, seed):
     """Folding a random split of the edge set into an existing closure
