@@ -92,17 +92,7 @@ def transitive_closure(
             closure.count()
 
     closure = closure.dropDuplicates(["ancestor", "descendant"])
-
-    if prune_prefix:
-        closure = closure.where(~F.col("ancestor").startswith(prune_prefix))
-    if max_descendants is not None:
-        big = (
-            closure.groupBy("ancestor")
-            .count()
-            .where(F.col("count") > max_descendants)
-            .select("ancestor")
-        )
-        closure = closure.join(F.broadcast(big), on="ancestor", how="left_anti")
+    closure = apply_closure_prunes(closure, max_descendants, prune_prefix)
 
     # Materialize the result with lineage truncation (localCheckpoint
     # stores the computed partitions and forgets the iterative plan), then
@@ -115,12 +105,40 @@ def transitive_closure(
     return closure
 
 
+def apply_closure_prunes(
+    closure: DataFrame,
+    max_descendants: int | None = MAX_DESCENDANTS,
+    prune_prefix: str | None = "biolink:",
+) -> DataFrame:
+    """The reference's post-closure prunes (plover.py:1655-1661), factored
+    out so the batch builder and the streaming maintenance path apply the
+    IDENTICAL filters: drop ``prune_prefix``-prefixed ancestors first, then
+    ancestors whose (remaining) descendant count exceeds
+    ``max_descendants``.  Order matters — descendant counts are taken on
+    the prefix-pruned set, same as :func:`transitive_closure` always did.
+    """
+    if prune_prefix:
+        closure = closure.where(~F.col("ancestor").startswith(prune_prefix))
+    if max_descendants is not None:
+        big = (
+            closure.groupBy("ancestor")
+            .count()
+            .where(F.col("count") > max_descendants)
+            .select("ancestor")
+        )
+        closure = closure.join(F.broadcast(big), on="ancestor", how="left_anti")
+    return closure
+
+
 def extend_closure(
-    closure: DataFrame, new_edges: DataFrame, max_rounds: int = MAX_DEPTH
+    closure: DataFrame,
+    new_edges: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    max_rounds: int = MAX_DEPTH,
 ) -> DataFrame:
     """Incremental closure maintenance: fold a batch of NEW parent->child
-    edges into an existing transitively-closed (ancestor, descendant) set
-    without recomputing from scratch.
+    edges into an existing transitively-closed (ancestor, descendant[,
+    depth]) set without recomputing from scratch.
 
     Every reachability pair introduced by the batch decomposes into an
     alternation of base-closure hops and new edges, so the fixpoint
@@ -131,22 +149,63 @@ def extend_closure(
     enumerates exactly the new pairs.  Each round joins the SMALL delta
     against the base — work scales with the delta's neighborhood, not the
     graph — and ``delta∘delta`` doubles the number of new-edge traversals
-    a path may use per round, so convergence takes O(log alternation
-    length) rounds.  This is the batch-side counterpart the streaming
-    ingest (``stream_edge_deltas``) calls per micro-batch; the full
-    :func:`transitive_closure` remains the from-scratch builder.
+    a path may use per round, so convergence takes O(log path length)
+    rounds.
+
+    Reference-parity depth accounting (plover.py:1652 caps recursion at
+    20): composition SUMS min-hop depths, pairs beyond ``max_depth`` are
+    dropped, and a shorter path to an already-known pair re-enters the
+    delta (its improved depth can enable further compositions under the
+    cap).  Because a shortest new path's base-segments are themselves
+    shortest old paths, the fixpoint computes EXACT min-hop distances —
+    identical to a from-scratch :func:`transitive_closure` of the merged
+    edge set.  If ``closure`` lacks a ``depth`` column, base pairs are
+    treated as 1 hop and the cap bounds only newly-added hops (a
+    conservative superset — pass depths for exact parity).
+
+    IMPORTANT: feed the UNPRUNED closure. The reference's prunes
+    (plover.py:1655-1661) remove *presentation* rows, but pruned pairs
+    still participate as path segments in a from-scratch DFS — so the
+    maintained artifact must be the full closure, with
+    :func:`apply_closure_prunes` applied to the served view (this is what
+    ``stream_edge_deltas`` does).
     """
-    base = closure.select("ancestor", "descendant").persist()
+    has_depth = "depth" in closure.columns
+    base = closure.select(
+        "ancestor",
+        "descendant",
+        (F.col("depth") if has_depth else F.lit(1)).cast("int").alias("depth"),
+    ).persist()
     intermediates = [base]
-    delta = (
-        new_edges.select(
-            F.col("parent").alias("ancestor"), F.col("child").alias("descendant")
+
+    def min_pairs(df: DataFrame) -> DataFrame:
+        return df.groupBy("ancestor", "descendant").agg(
+            F.min("depth").alias("depth")
         )
-        .where(F.col("ancestor") != F.col("descendant"))
-        .dropDuplicates(["ancestor", "descendant"])
-        .join(base, on=["ancestor", "descendant"], how="left_anti")
-        .persist()
+
+    def improvements(cand: DataFrame, known: DataFrame) -> DataFrame:
+        """Pairs in ``cand`` that are new or strictly shallower than
+        ``known`` — the only rows that can change the fixpoint."""
+        k = known.select(
+            "ancestor", "descendant", F.col("depth").alias("__known_depth")
+        )
+        return (
+            cand.join(k, on=["ancestor", "descendant"], how="left")
+            .where(
+                F.col("__known_depth").isNull()
+                | (F.col("depth") < F.col("__known_depth"))
+            )
+            .drop("__known_depth")
+        )
+
+    seed = min_pairs(
+        new_edges.select(
+            F.col("parent").alias("ancestor"),
+            F.col("child").alias("descendant"),
+            F.lit(1).alias("depth"),
+        ).where(F.col("ancestor") != F.col("descendant"))
     )
+    delta = improvements(seed, base).persist()
     intermediates.append(delta)
 
     def compose(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -154,31 +213,34 @@ def extend_closure(
             right.select(
                 F.col("ancestor").alias("descendant"),
                 F.col("descendant").alias("__d"),
+                F.col("depth").alias("__dd"),
             ),
             on="descendant",
-        ).select("ancestor", F.col("__d").alias("descendant"))
+        ).select(
+            "ancestor",
+            F.col("__d").alias("descendant"),
+            (F.col("depth") + F.col("__dd")).alias("depth"),
+        )
 
     for _ in range(max_rounds):
-        grown = (
+        if delta.isEmpty():
+            break
+        grown = min_pairs(
             compose(delta, base)
             .unionByName(compose(base, delta))
             .unionByName(compose(delta, delta))
-            .where(F.col("ancestor") != F.col("descendant"))
-            .dropDuplicates(["ancestor", "descendant"])
+            .where(
+                (F.col("ancestor") != F.col("descendant"))
+                & (F.col("depth") <= max_depth)
+            )
         )
-        fresh = grown.join(
-            base, on=["ancestor", "descendant"], how="left_anti"
-        ).join(delta, on=["ancestor", "descendant"], how="left_anti").persist()
+        fresh = improvements(improvements(grown, base), delta).persist()
         intermediates.append(fresh)
         if fresh.isEmpty():
             break
-        delta = delta.unionByName(fresh).persist()
+        delta = min_pairs(delta.unionByName(fresh)).persist()
         intermediates.append(delta)
-    out = (
-        base.unionByName(delta)
-        .dropDuplicates(["ancestor", "descendant"])
-        .localCheckpoint(eager=True)
-    )
+    out = min_pairs(base.unionByName(delta)).localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
     return out

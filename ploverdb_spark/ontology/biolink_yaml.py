@@ -53,8 +53,16 @@ QUALIFIER_ENUMS = (
 
 
 def class_curie(name: str) -> str:
-    """'named thing' -> 'biolink:NamedThing' (LinkML class naming)."""
-    return "biolink:" + "".join(w.capitalize() for w in name.split())
+    """'named thing' -> 'biolink:NamedThing' (LinkML class naming).
+
+    Existing uppercase is preserved (only the first letter of each word is
+    raised): 'RNA product' -> 'biolink:RNAProduct', 'microRNA' ->
+    'biolink:MicroRNA' — ``str.capitalize`` would lowercase the acronyms
+    and produce CURIEs that match nothing in the real model.
+    """
+    return "biolink:" + "".join(
+        (w[0].upper() + w[1:]) if w else w for w in name.split()
+    )
 
 
 def slot_curie(name: str) -> str:

@@ -101,12 +101,24 @@ DEFAULT_ATTRIBUTE_SHELLS: dict[str, dict] = {
     "publications": {
         "attribute_type_id": "biolink:publications",
         "value_type_id": "biolink:Uriorcurie",
-        "attribute_source": "{primary_knowledge_source}",
+        "attribute_source": "{kp_infores_curie}",
     },
     "publication": {
         "attribute_type_id": "biolink:publications",
         "value_type_id": "biolink:Uriorcurie",
-        "attribute_source": "{primary_knowledge_source}",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "publications_info": {
+        "attribute_type_id": "biolink:supporting_text",
+        "attribute_source": "{kp_infores_curie}",
+    },
+    "max_research_phase": {
+        "attribute_type_id": "biolink:max_research_phase",
+        "value_type_id": "biolink:ResearchPhaseEnum",
+    },
+    "clinical_approval_status": {
+        "attribute_type_id": "biolink:clinical_approval_status",
+        "value_type_id": "biolink:ClinicalApprovalStatusEnum",
     },
 }
 

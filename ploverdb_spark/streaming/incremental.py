@@ -24,9 +24,89 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ploverdb_spark.build.closure import extend_closure, subclass_edges
+from ploverdb_spark.build.closure import (
+    apply_closure_prunes,
+    extend_closure,
+    subclass_edges,
+)
 from ploverdb_spark.build.ingest import build_edges_bidir, flip_noncanonical_edges
 from ploverdb_spark.ontology.biolink_lite import BiolinkLite, default_model
+
+# Seen-id sidecar layout: hash-partitioned so per-batch dedup reads only
+# the partitions the batch's ids can live in (O(batch neighborhood), not
+# O(accumulated artifact)).  256 buckets keeps directories coarse enough
+# for small deployments while still pruning ~everything at 100 TB scale
+# when a batch touches a handful of buckets.
+N_ID_BUCKETS = 256
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe via the Hadoop FileSystem API (works for
+    any scheme, local or object store) — replaces the old
+    ``except Exception: pass`` around the read, which also swallowed real
+    read errors (a corrupt artifact would have caused silent duplicate
+    ingestion)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _atomic_swap_in(spark: SparkSession, tmp_path: str, final_path: str) -> None:
+    """Promote a fully-written temp dir over ``final_path`` via renames
+    (rename is atomic per path on HDFS/local; the final→old→delete dance
+    leaves a recoverable state at every crash point — see
+    :func:`_read_swappable`)."""
+    fs, final, jvm = _hadoop_fs(spark, final_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    old = jvm.org.apache.hadoop.fs.Path(final_path + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(final):
+        fs.rename(final, old)
+    fs.rename(tmp, final)
+    fs.delete(old, True)
+
+
+def _read_swappable(spark: SparkSession, final_path: str) -> DataFrame | None:
+    """Read an artifact maintained by :func:`_atomic_swap_in`, recovering
+    from a crash mid-swap: if the final dir is missing, a complete
+    ``.tmp`` (written before any rename) or ``.old`` (the pre-swap
+    version) is promoted back."""
+    fs, final, jvm = _hadoop_fs(spark, final_path)
+    if not fs.exists(final):
+        for suffix in (".tmp", ".old"):
+            cand = jvm.org.apache.hadoop.fs.Path(final_path + suffix)
+            if fs.exists(cand):
+                fs.rename(cand, final)
+                break
+        else:
+            return None
+    return spark.read.parquet(final_path)
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "id_bucket", F.pmod(F.xxhash64("id"), F.lit(N_ID_BUCKETS))
+    )
+
+
+def seen_ids_reader(
+    spark: SparkSession, sidecar_path: str, buckets: list[int]
+) -> DataFrame:
+    """The per-batch view of the seen-id sidecar: partition-pruned to the
+    hash buckets the batch's ids can occupy.  ``id_bucket`` is a physical
+    partition column, so this scan touches only ``len(buckets)`` of the
+    ``N_ID_BUCKETS`` directories regardless of total accumulated ids."""
+    return (
+        spark.read.parquet(sidecar_path)
+        .where(F.col("id_bucket").isin([int(b) for b in buckets]))
+        .select("id")
+    )
 
 
 def stream_edge_deltas(
@@ -44,10 +124,26 @@ def stream_edge_deltas(
     Each micro-batch runs the batch build transforms (canonical flip,
     bidirectional expansion) and appends rows not already present (by edge
     id).  ``foreachBatch`` gives exactly-once appends with the parquet
-    sink + checkpoint.  Batches carrying subclass edges also fold them
-    into the subclass-closure artifact via :func:`extend_closure` — the
-    delta-fixpoint incremental maintenance, so ontology reasoning stays
-    current without a full closure rebuild.
+    sink + checkpoint.
+
+    Scale design: dedup against already-served ids goes through a compact
+    ids-only sidecar (``edge_ids_seen.parquet``) hash-partitioned into
+    :data:`N_ID_BUCKETS` buckets — each batch reads ONLY the bucket
+    partitions its own ids hash into, so per-batch work is proportional
+    to the batch, never to the accumulated artifact (the old design
+    re-scanned + re-shuffled the entire ``edges_bidir`` artifact every
+    batch, a non-starter at 30M+ edges).
+
+    Batches carrying subclass edges also fold them into the
+    subclass-closure artifacts via :func:`extend_closure`:
+    ``subclass_closure_full.parquet`` holds the UNPRUNED depth-tracked
+    closure (pruned pairs still serve as path segments, so the maintained
+    state must keep them — reference plover.py:1652-1661 semantics), and
+    the served ``subclass_closure.parquet`` is re-derived from it with
+    :func:`apply_closure_prunes` after every fold.  Both artifacts are
+    replaced via write-temp-then-rename (:func:`_atomic_swap_in`) instead
+    of overwrite-in-place, so a crash mid-write can never corrupt the
+    only copy.
     """
     model = model or default_model()
     raw = (
@@ -55,42 +151,99 @@ def stream_edge_deltas(
         .option("maxFilesPerTrigger", 8)
         .json(drop_dir)
     )
+    artifact = f"{out_dir}/edges_bidir.parquet"
+    sidecar = f"{out_dir}/edge_ids_seen.parquet"
+    closure_full_path = f"{out_dir}/subclass_closure_full.parquet"
+    closure_served_path = f"{out_dir}/subclass_closure.parquet"
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         session = batch_df.sparkSession
         edges = flip_noncanonical_edges(batch_df, model)
-        bidir = build_edges_bidir(edges, nodes)
+        bidir = build_edges_bidir(edges, nodes).persist()
         try:
-            current = session.read.parquet(f"{out_dir}/edges_bidir.parquet")
-            bidir = bidir.join(
-                current.select("id").distinct(), on="id", how="left_anti"
+            if not _path_exists(session, sidecar) and _path_exists(
+                session, artifact
+            ):
+                # Migration: deployment predates the sidecar — backfill it
+                # from the artifact once (the only remaining full scan).
+                _with_bucket(
+                    session.read.parquet(artifact).select("id").distinct()
+                ).write.partitionBy("id_bucket").mode("overwrite").parquet(
+                    sidecar
+                )
+            batch_ids = _with_bucket(bidir.select("id").distinct()).persist()
+            if _path_exists(session, sidecar):
+                buckets = [
+                    r.id_bucket
+                    for r in batch_ids.select("id_bucket").distinct().collect()
+                ]
+                seen = seen_ids_reader(session, sidecar, buckets)
+                new_rows = bidir.join(seen, on="id", how="left_anti")
+                new_ids = batch_ids.join(seen, on="id", how="left_anti")
+            else:
+                new_rows, new_ids = bidir, batch_ids
+            new_rows.write.mode("append").parquet(artifact)
+            new_ids.write.partitionBy("id_bucket").mode("append").parquet(
+                sidecar
             )
-        except Exception:
-            pass  # first batch: artifact does not exist yet
-        bidir.write.mode("append").parquet(f"{out_dir}/edges_bidir.parquet")
+            batch_ids.unpersist()
+        finally:
+            bidir.unpersist()
 
         sub_pairs = subclass_edges(edges)
         if not sub_pairs.isEmpty():
-            closure_path = f"{out_dir}/subclass_closure.parquet"
-            try:
-                closure = session.read.parquet(closure_path).select(
-                    "ancestor", "descendant"
+            full = _read_swappable(session, closure_full_path)
+            if full is None:
+                full = session.createDataFrame(
+                    [], "ancestor string, descendant string, depth int"
                 )
-            except Exception:
-                closure = session.createDataFrame(
-                    [], "ancestor string, descendant string"
-                )
-            updated = extend_closure(closure, sub_pairs)
-            # localCheckpoint in extend_closure materialized the result,
-            # so overwriting the artifact it was read from is safe
-            updated.write.mode("overwrite").parquet(closure_path)
+            updated = extend_closure(full, sub_pairs)  # localCheckpointed
+            tmp = f"{closure_full_path}.tmp"
+            updated.write.mode("overwrite").parquet(tmp)
+            _atomic_swap_in(session, tmp, closure_full_path)
+            served_tmp = f"{closure_served_path}.tmp"
+            apply_closure_prunes(updated).write.mode("overwrite").parquet(
+                served_tmp
+            )
+            _atomic_swap_in(session, served_tmp, closure_served_path)
 
     writer = raw.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def fold_session_events(
+    state: tuple[int, int, int] | None,
+    ts_sorted: list[int],
+    gap_sec: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Fold a sorted batch of event timestamps into an open session.
+
+    Pure core of :func:`stream_sessionize` (unit-testable without a
+    stream).  Returns ``(closed_sessions, open_state)`` where each state
+    is ``(start, end, n_events)``.
+
+    Out-of-order handling: an event that predates the open session's
+    bounds (carried over from a prior batch) folds in via min/max — it
+    must never move the session end BACKWARDS, else a later in-order
+    event reads as a > gap_sec jump and falsely splits one session in
+    two.
+    """
+    start, end, n = state if state is not None else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_sorted:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > gap_sec:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            start, end, n = min(start, t), max(end, t), n + 1
+    open_state = (start, end, n) if start is not None else None
+    return closed, open_state
 
 
 def stream_sessionize(
@@ -139,21 +292,10 @@ def stream_sessionize(
         for pdf in pdfs:
             ts.extend(int(x) for x in pdf[ts_col])
         ts.sort()
-        if state.exists:
-            start, end, n = state.get
-        else:
-            start, end, n = None, None, 0
-        closed: list[tuple[int, int, int]] = []
-        for t in ts:
-            if start is None:
-                start, end, n = t, t, 1
-            elif t - end > gap_sec:
-                closed.append((start, end, n))
-                start, end, n = t, t, 1
-            else:
-                end, n = t, n + 1
-        if start is not None:
-            state.update((start, end, n))
+        prior = tuple(state.get) if state.exists else None
+        closed, open_state = fold_session_events(prior, ts, gap_sec)
+        if open_state is not None:
+            state.update(open_state)
             state.setTimeoutDuration(gap_sec * 1000)
         if closed:
             yield pd.DataFrame(

