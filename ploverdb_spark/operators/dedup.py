@@ -277,46 +277,55 @@ def connected_components(
     pair list, returned as (doc_id, group_id) with group_id = the
     component's minimum id.
 
-    Spark-first shape: iterative min-label propagation (the standard
-    large-graph CC algorithm) — per round, each node takes the min of its
-    own label and its neighbors' labels; work per round is one shuffle
-    join + one aggregation, and rounds = graph diameter (near-dup
-    components are shallow).  Intermediates are persisted per round and
-    released before returning, like build/closure.py's semi-naive loop.
+    Spark-first shape: min-label propagation with POINTER JUMPING — per
+    round, each node takes the min label over its closed neighborhood
+    (one shuffle join + one aggregation), then labels short-circuit
+    through their own targets (``label := label(label)``, one more join).
+    The jump halves remaining chain lengths every round, so convergence
+    takes O(log diameter) rounds instead of O(diameter) — the same
+    round-compression idea as large-star/small-star CC.  Chain-shaped
+    duplicate sets (doc_i ~ doc_{i+1}) are exactly the case where plain
+    propagation degenerates to diameter-many rounds.
+
+    Cost anatomy (measured at bench scale, where fixed per-job overhead
+    dominates): duplicate candidate pairs are NOT deduped — min-agg is
+    idempotent to them, and the dedup shuffle costs more than the dup
+    rows; the symmetrized edge list is materialized ONCE via
+    localCheckpoint (also evaluates the possibly-expensive upstream pair
+    plan exactly once); each round is one lineage-truncating action plus
+    a convergence probe over already-checkpointed inputs.
     """
-    # Symmetrize with ONE evaluation of the (possibly expensive) pairs
-    # plan: explode both orientations from each row instead of a
-    # self-union, which would run the upstream plan twice.
-    sym = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col(left_col).alias("src"), F.col(right_col).alias("dst")
-                ),
-                F.struct(
-                    F.col(right_col).alias("src"), F.col(left_col).alias("dst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    und = sym.dropDuplicates(["src", "dst"]).persist()
-    intermediates = [und]
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
+    # Symmetrize with ONE evaluation of the pairs plan: explode both
+    # orientations from each row instead of a self-union, which would run
+    # the upstream plan twice.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left_col).alias("src"),
+                        F.col(right_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(right_col).alias("src"),
+                        F.col(left_col).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
     )
-    intermediates.append(labels)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
     # Static self-loops fold "keep your own label" into the SAME min
     # aggregation as the neighbor labels — one join + one agg per round
     # instead of join + agg + join.
-    und_self = und.unionByName(
-        labels.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    und_self = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).persist()
-    intermediates.append(und_self)
-    for _ in range(max_iter):
-        new_labels = (
+    for i in range(max_iter):
+        prop = (
             und_self.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("label").alias("nlabel")
@@ -325,22 +334,44 @@ def connected_components(
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nlabel").alias("label"))
-            .persist()
         )
-        intermediates.append(new_labels)
-        converged = (
+        # Pointer jump: follow the label one hop (labels always point to a
+        # smaller node in the same component, so label(label) is valid and
+        # no larger).  Left join: a label that is a component minimum has
+        # label(label) = itself via its own row, but guard with coalesce.
+        # ``prop`` appears TWICE here, so the round's result must be
+        # lineage-truncated (localCheckpoint) — chaining persisted plans
+        # would double the logical-plan size every round and OOM the
+        # driver on plan analysis long before any data is large.
+        new_labels = (
+            prop.join(
+                prop.select(
+                    F.col("node").alias("label"), F.col("label").alias("jlabel")
+                ),
+                on="label",
+                how="left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("jlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Round 0 converges only on an edgeless graph — skip its probe.
+        converged = i > 0 and (
             new_labels.join(labels, on=["node", "label"], how="left_anti")
             .isEmpty()
         )
         labels = new_labels
         if converged:
             break
-    out = labels.select(
+    und_self.unpersist()
+    # labels is already checkpointed; the rename projection is free.
+    return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
-    ).localCheckpoint(eager=True)
-    for df in intermediates:
-        df.unpersist()
-    return out
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
