@@ -10,6 +10,11 @@ note) wires routes straight to ``handle`` — kept out of this repo's
 dependencies on purpose; the engine surface is fully testable without it.
 
 Endpoints (reference main.py routes):
+- GET  /                      -> instance home page (main.py:130-158)
+- GET  /<kp_endpoint_name>    -> per-KP home page (main.py:651-658, built
+                                 from kp_home_template.html at
+                                 plover.py:1357-1368; routed here as
+                                 path='home' + endpoint)
 - POST /query                 -> TRAPI one-hop / edgeless (R6 slim modes honored)
 - POST /edges                 -> pairwise edge lookup (J10)
 - POST /neighbors             -> batch adjacency (J11)
@@ -19,6 +24,8 @@ Endpoints (reference main.py routes):
 - GET  /code_version          -> build metadata (main.py:262-276)
 - GET  /get_logs              -> tail of the engine's query log (main.py:630-637)
 - GET  /debug                 -> driver memory + Spark cache report (main.py:285-567)
+- GET  /debug/last            -> cached most-recent debug snapshot +
+                                 last-query stats (main.py:554-568)
 - POST /rebuild               -> token-gated rebuild + atomic engine swap
                                  (rebuild_main.py:45-68)
 """
@@ -95,6 +102,11 @@ class KpRegistry:
         self._engines: dict[str, TrapiEngine] = {}
         self._logs: dict[str, deque] = {}
         self._meta_cache: dict[str, dict] = {}
+        # /debug/last cache (reference main.py:35-36, 526-527): refreshed
+        # by every /debug call; the per-query stats are refreshed by every
+        # handled query.
+        self._last_debug: dict | None = None
+        self._last_query: dict | None = None
         self.query_timeout_sec = query_timeout_sec
         # /rebuild requires this token when set (reference auth_request,
         # rebuild_main.py:45-68); None disables the endpoint entirely.
@@ -143,6 +155,77 @@ class KpRegistry:
         return entries[-num_lines:]
 
 
+def _instance_home_html(registry: KpRegistry) -> str:
+    """GET / (reference main.py:130-158): lists every hosted KP's infores
+    curie + sub-endpoint link, marks the default, and links the
+    instance-level ops endpoints."""
+    default = registry.default_endpoint
+    items = "".join(
+        f"<li>{eng.kp_infores_curie}"
+        f"{'*' if name == default else ''}: "
+        f"<a href='/{name}'>/{name}</a></li>"
+        for name, eng in sorted(registry._engines.items())
+    )
+    return f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+  <meta charset="UTF-8">
+  <meta name="viewport" content="width=device-width, initial-scale=1.0">
+  <title>Plover API</title>
+</head>
+<body>
+  <h2>Plover API</h2>
+  <h4>Querying</h4>
+  <p>Individual TRAPI APIs for the <b>{len(registry._engines)}
+  knowledge graph(s)</b> hosted on this instance are available at the
+  following sub-endpoints:
+  <ul>{items}</ul>
+  <i>* Default KP (i.e., can be accessed via <code>/query</code> or
+  <code>/{default}/query</code>)</i></p>
+  <h4>Other endpoints</h4>
+  <p>Instance-level (as opposed to KP-level) endpoints helpful in
+  debugging include:
+    <ul>
+      <li><a href="/healthcheck">/healthcheck</a> (GET)</li>
+      <li><a href="/get_logs">/get_logs</a> (GET)</li>
+      <li><a href="/code_version">/code_version</a> (GET)</li>
+      <li><a href="/debug">/debug</a> (GET)</li>
+    </ul>
+  </p>
+</body>
+</html>"""
+
+
+def _kp_home_html(endpoint_name: str, kp_infores_curie: str) -> str:
+    """GET /<kp> (reference kp_home_template.html, filled at build time by
+    plover.py:1357-1368 with the KP's infores curie + endpoint name;
+    rendered here at request time — same substitutions, no build artifact
+    to stage)."""
+    return f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+  <meta charset="UTF-8">
+  <title>Plover API for {kp_infores_curie}</title>
+</head>
+<body>
+<h2>Plover API for {kp_infores_curie}</h2>
+<h4>Querying</h4>
+<p>This is a TRAPI web API; to query the underlying knowledge graph,
+<b>submit a POST request to the <code>/{endpoint_name}/query</code>
+endpoint</b>.</p>
+<h4>Other endpoints</h4>
+Other endpoints you can view in your browser (or access programmatically)
+include:
+<ul>
+  <li><a href="/{endpoint_name}/meta_knowledge_graph">/{endpoint_name}/meta_knowledge_graph</a> (GET)</li>
+  <li><a href="/{endpoint_name}/sri_test_triples">/{endpoint_name}/sri_test_triples</a> (GET)</li>
+  <li><a href="/get_logs">/get_logs</a> (GET; includes info for all KGs hosted on this instance)</li>
+  <li><a href="/code_version">/code_version</a> (GET; includes info for all KGs hosted on this instance)</li>
+</ul>
+</body>
+</html>"""
+
+
 def _proc_memory(include_pss: bool = False) -> dict:
     """Driver-process memory from /proc (reference /debug,
     main.py:285-567: RSS always, PSS opt-in because smaps_rollup walks
@@ -175,6 +258,12 @@ def _debug_payload(registry: KpRegistry, payload: dict) -> dict:
     that replaces the reference's per-uwsgi-worker RSS table — in a
     single-JVM Spark deployment the persisted artifact tables ARE the
     resident working set."""
+    if registry.default_endpoint is None:
+        return {
+            "driver_memory": _proc_memory(include_pss=bool(payload.get("pss"))),
+            "spark": {},
+            "endpoints": [],
+        }
     any_engine = registry.engine(None)
     sc = any_engine.spark.sparkContext
     tracker = sc.statusTracker()
@@ -256,6 +345,10 @@ def _rebuild(registry: KpRegistry, payload: dict, endpoint: str | None) -> dict:
         # the registry is only swapped after a fully-built engine exists
         raise QueryError(500, f"Rebuild failed: {e}") from e
     registry.swap(name, engine)
+    if config.delete_local_kg_files:
+        from ploverdb_spark.build.ingest import remove_input_files
+
+        remove_input_files([nodes_file, edges_file])
     return {
         "message": f"Rebuild of '{name}' done. Took "
         f"{round((_time.time() - start) / 60, 1)} minutes."
@@ -274,13 +367,30 @@ def handle(
     Error semantics mirror the reference: 400 bad shape, 403 guard trips
     (qualifier whitelist, answer-size cutoff), 404 unknown endpoint/path.
     """
+    import datetime
+    import time as _time
+
     payload = payload or {}
     try:
         if path == "query":
             eng = registry.engine(endpoint)
+            t0 = _time.time()
             body = run_query_with_timeout(
                 eng, payload, timeout_sec=registry.query_timeout_sec
             )
+            # /debug/last per-query stats (reference main.py:554-568 keeps
+            # the most recent snapshot; here the most useful "last" signal
+            # is what the last query did and cost)
+            msg = body.get("message") or {}
+            registry._last_query = {
+                "endpoint": endpoint or registry.default_endpoint,
+                "took_sec": round(_time.time() - t0, 4),
+                "n_results": len(msg.get("results") or []),
+                "n_kg_edges": len(
+                    (msg.get("knowledge_graph") or {}).get("edges") or {}
+                ),
+                "at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            }
             registry.log(endpoint, {"path": "query", "ok": True})
             return 200, body
         if path == "edges":
@@ -309,7 +419,37 @@ def handle(
         if path == "rebuild":
             return 200, _rebuild(registry, payload, endpoint)
         if path == "debug":
-            return 200, _debug_payload(registry, payload)
+            body = _debug_payload(registry, payload)
+            registry._last_debug = {
+                "snapshot": body,
+                "captured_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+            return 200, body
+        if path == "debug/last":
+            # Reference main.py:554-568: serve the cached snapshot
+            # (lightweight — no fresh introspection under load); first
+            # call captures one, standing in for the startup capture.
+            if registry._last_debug is None:
+                registry._last_debug = {
+                    "snapshot": _debug_payload(registry, {}),
+                    "captured_at": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(),
+                }
+            return 200, {
+                **registry._last_debug,
+                "last_query": registry._last_query,
+                "note": "Cached from last /debug call (or startup). "
+                "Call /debug for fresh data.",
+            }
+        if path == "" or path == "home_page":
+            return 200, _instance_home_html(registry)
+        if path == "home":
+            name = endpoint or registry.default_endpoint
+            eng = registry.engine(endpoint)  # 404s on unknown endpoints
+            return 200, _kp_home_html(name, eng.kp_infores_curie)
         if path == "healthcheck":
             return 200, ""
         if path == "code_version":

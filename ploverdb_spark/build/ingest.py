@@ -524,3 +524,29 @@ def read_artifacts(
         model=model or default_model(),
         config=config or KgxConfig(),
     )
+
+
+def remove_input_files(paths: list[str]) -> list[str]:
+    """Post-build source-file cleanup (reference plover.py:1370-1379,
+    ``delete_local_kg_files`` config): remove staged local KGX inputs once
+    the build artifacts exist.  Missing files are fine; other OS errors
+    are logged and skipped (never fail a finished build over cleanup).
+    Remote URLs (anything with a scheme) are left untouched.  Returns the
+    paths actually removed."""
+    import logging
+    import os
+    from urllib.parse import urlparse
+
+    removed = []
+    for p in paths:
+        if not p or urlparse(p).scheme not in ("", "file"):
+            continue
+        local = urlparse(p).path if p.startswith("file:") else p
+        try:
+            os.remove(local)
+            removed.append(p)
+        except FileNotFoundError:
+            pass
+        except OSError as e:
+            logging.warning("Failed to delete %s: %s", p, e)
+    return removed

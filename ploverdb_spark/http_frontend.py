@@ -31,6 +31,9 @@ GET_PATHS = {
     "code_version",
     "get_logs",
     "debug",
+    "debug/last",
+    "",  # instance home page (reference main.py:130)
+    "home",  # per-KP home page (reference main.py:651)
 }
 POST_PATHS = {"query", "edges", "neighbors", "rebuild"}
 KNOWN_PATHS = GET_PATHS | POST_PATHS
@@ -41,11 +44,12 @@ def _route(registry: KpRegistry, raw_path: str) -> tuple[str | None, str]:
 
     Mirrors the reference's per-KP URL prefixes (main.py:50-65): a first
     segment naming a registered KP selects it; otherwise the default
-    endpoint serves the bare path.
+    endpoint serves the bare path.  A bare ``/<kp>`` is that KP's home
+    page (reference main.py:651-658); bare ``/`` is the instance home.
     """
     parts = [p for p in raw_path.split("?")[0].split("/") if p]
-    if len(parts) >= 2 and parts[0] in registry._engines:
-        return parts[0], "/".join(parts[1:])
+    if parts and parts[0] in registry._engines:
+        return parts[0], "/".join(parts[1:]) or "home"
     return None, "/".join(parts)
 
 
@@ -56,9 +60,12 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _respond(self, status: int, body: Any) -> None:
+        is_html = isinstance(body, str) and body.lstrip().startswith("<")
         data = json.dumps(body).encode() if not isinstance(body, str) else body.encode()
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header(
+            "Content-Type", "text/html" if is_html else "application/json"
+        )
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         self.wfile.write(data)

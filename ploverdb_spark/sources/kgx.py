@@ -83,6 +83,9 @@ class KgxConfig:
     # Per-KP overrides of the default TRAPI attribute shells
     # (reference kg_config["trapi_attribute_map"], plover.py:1441-1445).
     trapi_attribute_map: dict[str, dict] = field(default_factory=dict)
+    # Remove staged local KGX input files once the build is done
+    # (reference kg_config["delete_local_kg_files"], plover.py:1370-1379).
+    delete_local_kg_files: bool = False
     # Path to a biolink-model.yaml to load the full ontology from
     # (reference BiolinkHelper(biolink_version, ...) downloads the
     # versioned model; deployments here point at a staged copy).  None ->

@@ -315,6 +315,81 @@ def test_debug_endpoint(registry):
     assert "graft" in body["endpoints"]
 
 
+def test_debug_last_endpoint(registry):
+    """GET /debug/last (reference main.py:554-568, mirrored from
+    test_non_query_commands.py): cached snapshot + captured_at + note,
+    with the snapshot matching /debug's schema; after a query it also
+    carries the most recent query's stats."""
+    status, first = handle(registry, "debug/last")
+    assert status == 200
+    for key in ("snapshot", "captured_at", "note"):
+        assert key in first
+    snap = first["snapshot"]
+    assert "driver_memory" in snap and "endpoints" in snap
+    # a /debug call refreshes the cache
+    status, fresh = handle(registry, "debug", {})
+    assert status == 200
+    status, second = handle(registry, "debug/last")
+    assert second["snapshot"] == fresh
+    # after a query, last_query stats are exposed
+    status, _ = handle(registry, "query", {"message": {"query_graph": QG}})
+    assert status == 200
+    status, third = handle(registry, "debug/last")
+    lq = third["last_query"]
+    assert lq["endpoint"] == "graft" and lq["took_sec"] >= 0
+    assert lq["n_results"] > 0 and lq["n_kg_edges"] > 0
+
+
+def test_home_pages_via_handle(registry):
+    from ploverdb_spark.query.compiler import QueryError
+
+    status, html = handle(registry, "")
+    assert status == 200 and html.startswith("<!DOCTYPE html>")
+    status, html = handle(registry, "home", endpoint="graft")
+    assert status == 200 and "/graft/query" in html
+    # unknown KP home -> 404
+    status, _ = handle(registry, "home", endpoint="nope")
+    assert status == 404
+
+
+def test_rebuild_delete_local_kg_files(spark, tmp_path):
+    """delete_local_kg_files parity (reference plover.py:1370-1379): staged
+    KGX inputs are removed after a successful rebuild when the config flag
+    is set; missing files never fail the build."""
+    import json as _json
+
+    reg = KpRegistry(query_timeout_sec=120, rebuild_token="sekret")
+    reg.register("kp", graft_engine(spark, SF_SMOKE))
+    nodes_file = tmp_path / "nodes.jsonl"
+    nodes_file.write_text(
+        _json.dumps({"id": "NEW:1", "all_categories": ["biolink:Disease"]})
+    )
+    edges_file = tmp_path / "edges.jsonl"
+    edges_file.write_text(
+        _json.dumps(
+            {"id": "e1", "subject": "NEW:1", "object": "NEW:1",
+             "predicate": "biolink:related_to"}
+        )
+    )
+    status, _ = handle(
+        reg,
+        "rebuild",
+        {
+            "token": "sekret",
+            "nodes_file": str(nodes_file),
+            "edges_file": str(edges_file),
+            "config": {"is_test": True, "delete_local_kg_files": True},
+        },
+    )
+    assert status == 200
+    assert not nodes_file.exists() and not edges_file.exists()
+
+    from ploverdb_spark.build.ingest import remove_input_files
+
+    # missing files and URLs are skipped quietly
+    assert remove_input_files([str(nodes_file), "https://x.org/y.tsv", None]) == []
+
+
 def test_closure_report(registry):
     from ploverdb_spark.build.closure import closure_report
 
@@ -387,10 +462,33 @@ def test_http_frontend_routes(registry):
         with urllib.request.urlopen(req, timeout=300) as r:
             return r.status, _json.loads(r.read())
 
+    def get_raw(path):
+        with urllib.request.urlopen(f"{base}{path}", timeout=120) as r:
+            return r.status, r.headers.get("Content-Type"), r.read().decode()
+
     try:
         assert get("/healthcheck") == (200, "")
         status, meta = get("/meta_knowledge_graph")
         assert status == 200 and "edges" in meta
+        # GET / — instance home page (reference main.py:130-158): HTML
+        # listing each KP's infores curie, sub-endpoint link, and the
+        # default-KP marker
+        status, ctype, html = get_raw("/")
+        assert status == 200 and ctype == "text/html"
+        assert "infores:test-graft" in html or "graft" in html
+        assert "href='/graft'" in html and "*" in html
+        assert "/healthcheck" in html and "/code_version" in html
+        # GET /<kp> — per-KP home page (reference main.py:651-658 +
+        # kp_home_template.html): names the KP curie and links its
+        # meta_knowledge_graph / sri_test_triples endpoints
+        status, ctype, html = get_raw("/graft")
+        assert status == 200 and ctype == "text/html"
+        assert "/graft/query" in html
+        assert "/graft/meta_knowledge_graph" in html
+        assert "/graft/sri_test_triples" in html
+        # GET /debug/last serves the cached snapshot shape over HTTP too
+        status, last = get("/debug/last")
+        assert status == 200 and "snapshot" in last and "captured_at" in last
         # default endpoint and explicit KP prefix serve identically
         s1, body1 = post("/query", QG)
         s2, body2 = post("/graft/query", QG)
