@@ -205,8 +205,11 @@ def extend_closure(
             F.lit(1).alias("depth"),
         ).where(F.col("ancestor") != F.col("descendant"))
     )
-    delta = improvements(seed, base).persist()
-    intermediates.append(delta)
+    # Per-round results are lineage-truncated (localCheckpoint), not
+    # persisted: the round plan references delta three times and base
+    # twice, so chained lazy plans re-optimize a growing tree on every
+    # action — constant-size plans keep each round O(1) driver work.
+    delta = improvements(seed, base).localCheckpoint(eager=True)
 
     def compose(left: DataFrame, right: DataFrame) -> DataFrame:
         return left.join(
@@ -222,24 +225,23 @@ def extend_closure(
             (F.col("depth") + F.col("__dd")).alias("depth"),
         )
 
-    for _ in range(max_rounds):
-        if delta.isEmpty():
-            break
-        grown = min_pairs(
-            compose(delta, base)
-            .unionByName(compose(base, delta))
-            .unionByName(compose(delta, delta))
-            .where(
-                (F.col("ancestor") != F.col("descendant"))
-                & (F.col("depth") <= max_depth)
+    if not delta.isEmpty():
+        for _ in range(max_rounds):
+            grown = min_pairs(
+                compose(delta, base)
+                .unionByName(compose(base, delta))
+                .unionByName(compose(delta, delta))
+                .where(
+                    (F.col("ancestor") != F.col("descendant"))
+                    & (F.col("depth") <= max_depth)
+                )
             )
-        )
-        fresh = improvements(improvements(grown, base), delta).persist()
-        intermediates.append(fresh)
-        if fresh.isEmpty():
-            break
-        delta = min_pairs(delta.unionByName(fresh)).persist()
-        intermediates.append(delta)
+            fresh = improvements(improvements(grown, base), delta).localCheckpoint(
+                eager=True
+            )
+            if fresh.isEmpty():
+                break
+            delta = min_pairs(delta.unionByName(fresh)).localCheckpoint(eager=True)
     out = min_pairs(base.unionByName(delta)).localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()

@@ -85,14 +85,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Emitted first in queries()/oracle_sql() iteration order.  The round-2
+# driver run emitted exactly 50 correctness rows for a 51-entry catalog,
+# dropping the LAST-registered entry (j12) — so front-load the entries a
+# tail truncation must not silence: the previously-dropped one and the
+# newest additions.
+_EMIT_FIRST = ("j12_asof_last_order", "s5_ivf_multiprobe")
+
+
+def _ordered() -> list[str]:
+    head = [n for n in _EMIT_FIRST if n in _REGISTRY]
+    return head + [n for n in _REGISTRY if n not in _EMIT_FIRST]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def get(name: str) -> QuerySpec:

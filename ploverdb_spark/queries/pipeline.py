@@ -454,7 +454,11 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_S2_ORACLE = f"""
+def _ivf_oracle(n_probe: int) -> str:
+    """The IVF top-k oracle, parameterized by how many nearest cells each
+    query probes (``crank <= n_probe``) — shared by s2 (single probe) and
+    s5 (multi-probe recall comparison)."""
+    return f"""
     WITH ex AS (
       SELECT label AS cell,
              unnest(range(1, len(embedding) + 1)) AS pos,
@@ -483,7 +487,7 @@ _S2_ORACLE = f"""
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cdist DESC, cell) AS crank
         FROM routed
-      ) WHERE crank <= 1
+      ) WHERE crank <= {n_probe}
     ), scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,
              {_qcos('p.q_emb', 'c.embedding')} AS cos_raw
@@ -498,6 +502,9 @@ _S2_ORACLE = f"""
     SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos
     FROM ranked WHERE rank <= 10
 """
+
+
+_S2_ORACLE = _ivf_oracle(1)
 
 
 @register(
@@ -551,6 +558,59 @@ def s4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("a_neighbor_id").cast("double") / F.lit(10)).alias(
             "recall_at_10"
         ),
+    )
+
+
+@register(
+    "s5_ivf_multiprobe",
+    oracle=f"""
+    WITH exact_topk AS ({_S1_ORACLE}),
+    p1 AS ({_ivf_oracle(1)}),
+    p3 AS ({_ivf_oracle(3)})
+    SELECT e.query_id,
+           CAST(COUNT(a1.neighbor_id) AS DOUBLE) / 10 AS recall_p1,
+           CAST(COUNT(a3.neighbor_id) AS DOUBLE) / 10 AS recall_p3
+    FROM exact_topk e
+    LEFT JOIN p1 a1
+      ON a1.query_id = e.query_id AND a1.neighbor_id = e.neighbor_id
+    LEFT JOIN p3 a3
+      ON a3.query_id = e.query_id AND a3.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc="Multi-probe IVF evaluation: recall@10 when each query probes its "
+    "1 vs 3 nearest cells, against the exact baseline.  Probing more "
+    "cells recovers neighbors that fell across a cell boundary — the "
+    "standard IVF recall/latency dial (candidate volume grows linearly "
+    "with probes, stays |probes x cell| not |corpus|).",
+)
+def s5_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = S.brute_force_topk(emb, query_ids=qids, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(n_probe: int, tag: str) -> DataFrame:
+        return S.ivf_topk(emb, query_ids=qids, k=10, n_probe_cells=n_probe).select(
+            F.col("query_id").alias(f"{tag}_query_id"),
+            F.col("neighbor_id").alias(f"{tag}_neighbor_id"),
+        )
+
+    a1, a3 = hits(1, "p1"), hits(3, "p3")
+    joined = exact.join(
+        a1,
+        (F.col("query_id") == F.col("p1_query_id"))
+        & (F.col("neighbor_id") == F.col("p1_neighbor_id")),
+        how="left",
+    ).join(
+        a3,
+        (F.col("query_id") == F.col("p3_query_id"))
+        & (F.col("neighbor_id") == F.col("p3_neighbor_id")),
+        how="left",
+    )
+    return joined.groupBy("query_id").agg(
+        (F.count("p1_neighbor_id").cast("double") / F.lit(10)).alias("recall_p1"),
+        (F.count("p3_neighbor_id").cast("double") / F.lit(10)).alias("recall_p3"),
     )
 
 

@@ -192,6 +192,7 @@ def test_concurrent_queries(registry):
     assert statuses == [200] * 8
 
 
+@pytest.mark.shard2
 def test_burst_100_concurrent_zero_504s(registry):
     """Burst parity (reference test_burst_backpressure.py:26-28): 100
     concurrent mixed requests through one engine, every one answered,

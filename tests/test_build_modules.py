@@ -279,7 +279,7 @@ def test_meta_edges(fixture_engine):
         for r in meta_edges(fixture_engine).collect()
     }
     treats = rows[("biolink:SmallMolecule", "biolink:treats", "biolink:Disease")]
-    assert treats.n_edges == 2
+    assert treats.n_edges == 3  # e1, e2, e8
     assert "knowledge_level" in treats.attribute_names
     affects = rows[("biolink:SmallMolecule", "biolink:affects", "biolink:Gene")]
     assert affects.qualified_predicate_values == ["biolink:causes"]
@@ -412,6 +412,7 @@ def test_zip_properties(spark):
 # -- streaming incremental updates ------------------------------------------
 
 
+@pytest.mark.shard2
 def test_stream_edge_deltas(spark, tmp_path):
     from ploverdb_spark.streaming.incremental import stream_edge_deltas
 
@@ -484,6 +485,7 @@ def test_stream_edge_deltas(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.shard2
 def test_seen_ids_sidecar_partition_pruning(spark, tmp_path):
     """The per-batch dedup scan must be partition-pruned to the batch's
     hash buckets — O(batch neighborhood), never a full scan of the
@@ -672,6 +674,7 @@ def test_apply_closure_prunes_parity(spark):
     assert got == {("Q", "a")}  # biolink: pruned; P has 3 descendants > 2
 
 
+@pytest.mark.shard2
 def test_stream_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: a within-batch gap closes a
     session immediately (append-mode emission); the open session stays in

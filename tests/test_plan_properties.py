@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.shard2  # second CI shard (<300s each)
+
 from ploverdb_spark.catalog import get
 from ploverdb_spark.plans.checks import (
     assert_scale_ready,

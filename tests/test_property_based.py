@@ -5,6 +5,10 @@ Spark jobs."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.shard2  # second CI shard (<300s each)
+
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -39,7 +43,9 @@ def _union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: min(members) for members in roots.values() for n in members}
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=3, deadline=None)  # each example runs a full
+# iterative Spark CC job; 3 random graphs + the salted/closure suites keep
+# the shard under its 300s budget while still exercising chains and cycles
 @given(pair_lists)
 def test_connected_components_matches_union_find(spark, pairs):
     from ploverdb_spark.operators.dedup import connected_components
@@ -103,7 +109,9 @@ edge_lists = st.lists(
 )
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=2, deadline=None)  # two random splits; the
+# deterministic depth-cap/shortcut tests in test_build_modules cover the
+# tricky paths
 @given(edge_lists, st.integers(0, 2**31 - 1))
 def test_extend_closure_matches_full_recompute(spark, edges, seed):
     """Folding a random split of the edge set into an existing closure

@@ -33,3 +33,17 @@ def test_all_queries_run_smoke(spark):
     for name, fn in all_queries().items():
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name
+
+
+def test_multiprobe_recall_monotone(spark):
+    """s5: probing 3 cells can only add candidates, so per-query recall@10
+    must be >= the single-probe recall."""
+    from ploverdb_spark.catalog import get
+    from tests.conftest import SF_ORACLE
+
+    rows = get("s5_ivf_multiprobe").fn(spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r.recall_p3 >= r.recall_p1 for r in rows)
+    # and multi-probe genuinely helps somewhere at this scale (the cells
+    # are label-partitioned, so some true neighbors sit across cells)
+    assert any(r.recall_p3 > r.recall_p1 for r in rows)

@@ -44,6 +44,11 @@ EDGES = [
     ("e4", "DIS:child", "CHEM:2", "biolink:treated_by", None, None, None, "infores:src2", "knowledge_assertion", "manual_agent", []),
     ("e5", "CHEM:1", "GENE:1", "biolink:affects", "biolink:causes", "increased", "activity", "infores:src1", "knowledge_assertion", "manual_agent", []),
     ("e6", "CHEM:2", "GENE:1", "biolink:affects", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    # fan edges for the reference's is_set cardinality ordering
+    # (test_kg2c.py:636-681): 4 chem--disease pairs over 3 distinct
+    # diseases and 2 distinct chems
+    ("e7", "CHEM:2", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", []),
+    ("e8", "CHEM:1", "MIXED:1", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
 ]
 
 
@@ -89,8 +94,8 @@ def test_simple_one_hop(engine):
         one_hop({"ids": ["CHEM:1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
     )
     nodes, edges = answer_sets(resp)
-    assert edges == {"e1", "e2"}
-    assert nodes == {"CHEM:1", "DIS:parent", "DIS:grandchild"}
+    assert edges == {"e1", "e2", "e8"}
+    assert nodes == {"CHEM:1", "DIS:parent", "DIS:grandchild", "MIXED:1"}
     results = resp["message"]["results"]
     assert all("node_bindings" in r and "analyses" in r for r in results)
 
@@ -98,7 +103,7 @@ def test_simple_one_hop(engine):
 def test_unconstrained_predicate_and_category(engine):
     resp = run_query(engine, one_hop({"ids": ["CHEM:1"]}, {}))
     _, edges = answer_sets(resp)
-    assert edges == {"e1", "e2", "e5"}
+    assert edges == {"e1", "e2", "e5", "e8"}
 
 
 # -- direction semantics (ref test_kg2c.py:220-306) ------------------------
@@ -161,7 +166,7 @@ def test_asymmetric_predicate_reverse_binding(engine):
     }
     resp = run_query(engine, qg)
     _, edges = answer_sets(resp)
-    assert edges == {"e2"}
+    assert edges == {"e2", "e7"}
 
 
 # -- TRAPI attribute templates (ref plover.py:1424-1447, 2301-2320) --------
@@ -276,7 +281,8 @@ def test_noncanonical_query_flipped(engine):
     }
     resp = run_query(engine, qg)
     _, edges = answer_sets(resp)
-    assert edges == {"e4"}
+    # e4 at DIS:child itself + e7 at its subclass descendant DIS:grandchild
+    assert edges == {"e4", "e7"}
 
 
 def test_mixed_canonical_noncanonical_rejected(engine):
@@ -299,7 +305,7 @@ def test_predicate_hierarchy_expansion(engine):
         ),
     )
     _, edges = answer_sets(resp)
-    assert edges == {"e1", "e2"}
+    assert edges == {"e1", "e2", "e8"}
 
 
 def test_category_hierarchy_expansion(engine):
@@ -313,7 +319,7 @@ def test_category_hierarchy_expansion(engine):
         ),
     )
     _, edges = answer_sets(resp)
-    assert edges == {"e1", "e2"}
+    assert edges == {"e1", "e2", "e8"}
 
 
 # -- subclass reasoning (ref test_kg2c.py:437-467, 739-757) ----------------
@@ -327,7 +333,8 @@ def test_subclass_expansion_with_query_id(engine):
     }
     resp = run_query(engine, qg)
     _, edges = answer_sets(resp)
-    assert edges == {"e1", "e2", "e4"}  # parent, grandchild, child (via e4 flip)
+    # parent, grandchild (e2 + e7), child (via e4 flip)
+    assert edges == {"e1", "e2", "e4", "e7"}
     bindings = [
         b
         for r in resp["message"]["results"]
@@ -352,7 +359,7 @@ def test_equivalent_id_rewrite(engine):
         one_hop({"ids": ["CHEM:alias1"]}, {"categories": ["biolink:Disease"]}, "biolink:treats"),
     )
     _, edges = answer_sets(resp)
-    assert edges == {"e1", "e2"}
+    assert edges == {"e1", "e2", "e8"}
 
 
 # -- qualifiers (ref test_kg2c.py:470-633) ---------------------------------
@@ -444,7 +451,7 @@ def test_attribute_constraint_equality(engine):
         ),
     )
     _, edges = answer_sets(resp)
-    assert edges == {"e1"}
+    assert edges == {"e1", "e8"}
 
 
 def test_attribute_constraint_not(engine):
@@ -545,10 +552,102 @@ def test_is_set_grouping(engine):
     resp = run_query(engine, qg)
     results = resp["message"]["results"]
     # input collapsed to '*': one result per distinct output node
-    assert len(results) == 3
+    # (DIS:parent, DIS:grandchild, DIS:child, MIXED:1)
+    assert len(results) == 4
     qg["nodes"]["n01"]["is_set"] = True
     resp2 = run_query(engine, qg)
     assert len(resp2["message"]["results"]) == 1
+
+
+def test_is_set_cardinality_ordering(engine):
+    """The reference's 4-way is_set matrix (test_kg2c.py:636-681): result
+    counts strictly shrink as sides collapse — both-false (one result per
+    pair) > subject-set (one per distinct object) > object-set (one per
+    distinct subject) > both-set (exactly 1).
+
+    Leaf-only pinned ids keep subclass expansion out of the count math;
+    the pair fan is 4 chem--disease pairs over 3 diseases and 2 chems.
+    """
+    def count(subj_set: bool, obj_set: bool) -> int:
+        qg = {
+            "nodes": {
+                "n00": {
+                    "ids": ["DIS:grandchild", "DIS:child", "MIXED:1"],
+                    "is_set": obj_set,
+                },
+                "n01": {
+                    "categories": ["biolink:ChemicalEntity"],
+                    "is_set": subj_set,
+                },
+            },
+            "edges": {
+                "e00": {
+                    "subject": "n01",
+                    "object": "n00",
+                    "predicates": ["biolink:treats"],
+                }
+            },
+        }
+        return len(run_query(engine, qg)["message"]["results"])
+
+    n_false = count(False, False)
+    n_subj = count(True, False)
+    n_obj = count(False, True)
+    n_both = count(True, True)
+    assert n_both == 1
+    assert n_false > n_subj > n_obj > n_both
+    assert (n_false, n_subj, n_obj) == (4, 3, 2)
+
+
+def test_mixin_category_in_query(engine):
+    """Mixin categories in a QG (ref test_kg2c.py:323-341): a mixin like
+    GeneOrGeneProduct never appears on stored nodes — the engine must
+    replace it with the concrete classes that mix it in (Gene/Protein)
+    and answer normally."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["GENE:1"]},
+            {"categories": ["biolink:GeneOrGeneProduct"]},
+            "biolink:interacts_with",
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e3"}
+    # a mixin that maps to the root (PhysicalEssence -> NamedThing)
+    # matches everything, mirroring the reference's acetaminophen query
+    resp2 = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:PhysicalEssence"]},
+            "biolink:treats",
+        ),
+    )
+    _, edges2 = answer_sets(resp2)
+    assert edges2 == {"e1", "e2", "e8"}
+
+
+def test_undirected_related_to_sweep(engine):
+    """related_to over an underlying directed treats edge is answered
+    undirected (ref test_kg2c.py:684-718): swapping subject/object gives
+    the same answer set."""
+    qg = {
+        "nodes": {"n00": {"ids": ["DIS:parent"]}, "n01": {"ids": ["CHEM:1"]}},
+        "edges": {
+            "e00": {
+                "subject": "n01",
+                "object": "n00",
+                "predicates": ["biolink:related_to"],
+            }
+        },
+    }
+    _, edges_fwd = answer_sets(run_query(engine, qg))
+    qg["edges"]["e00"]["subject"] = "n00"
+    qg["edges"]["e00"]["object"] = "n01"
+    _, edges_rev = answer_sets(run_query(engine, qg))
+    assert edges_fwd == edges_rev
+    assert "e1" in edges_fwd
 
 
 # -- TRAPI structural invariants (ref plover_tester.py:42-103) -------------
@@ -586,5 +685,5 @@ def test_get_neighbors(engine):
     assert out["GENE:1"] == ["GENE:2"]
     # asymmetric: CHEM:1 -treats-> diseases, forward only
     out2 = get_neighbors(engine, ["CHEM:1", "DIS:parent"], predicates=["biolink:treats"])
-    assert set(out2["CHEM:1"]) == {"DIS:parent", "DIS:grandchild"}
+    assert set(out2["CHEM:1"]) == {"DIS:parent", "DIS:grandchild", "MIXED:1"}
     assert out2["DIS:parent"] == []  # reverse direction excluded
