@@ -32,6 +32,7 @@ Endpoints (reference main.py routes):
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import threading
 from collections import deque
@@ -42,6 +43,8 @@ from ploverdb_spark.query.compiler import QueryError, TrapiEngine
 from ploverdb_spark.query.response import get_edges, get_neighbors, run_query
 
 DEFAULT_QUERY_TIMEOUT_SEC = 45  # parity with uwsgi.ini:10 (harakiri)
+DEFAULT_MAX_WORKERS = 16  # parity with UWSGI_PROCESSES (Dockerfile:58)
+DEFAULT_BACKLOG = 512  # parity with uwsgi.ini:33 (nginx listen backlog)
 
 _query_seq = itertools.count()
 
@@ -92,12 +95,27 @@ class KpRegistry:
 
     ``query_timeout_sec`` is the per-request harakiri deadline (the
     reference's uwsgi.ini:10 value — configurable per deployment; tests
-    raise it so cold-start warmup on a loaded box doesn't read as 504)."""
+    raise it so cold-start warmup on a loaded box doesn't read as 504).
+
+    Admission control mirrors the reference's serving stack (nginx
+    connection buffering in front of a bounded uWSGI worker pool,
+    README.md:505-511 + uwsgi.ini:33): at most ``max_workers`` Spark-heavy
+    requests (query/edges/neighbors) execute concurrently, up to
+    ``backlog`` more wait in queue, anything beyond that — or a queue wait
+    exceeding ``queue_wait_sec`` — gets 503 backpressure (the burst SLO
+    allows 503s, never 504s).  Crucially the harakiri clock starts when a
+    worker PICKS UP the request, exactly like uWSGI's — without the pool,
+    a 100-request burst puts queueing time inside every request's 45 s
+    window and the tail mass-504s.  ``max_workers=None`` disables the
+    pool (unit-test mode)."""
 
     def __init__(
         self,
         query_timeout_sec: float = DEFAULT_QUERY_TIMEOUT_SEC,
         rebuild_token: str | None = None,
+        max_workers: int | None = DEFAULT_MAX_WORKERS,
+        backlog: int = DEFAULT_BACKLOG,
+        queue_wait_sec: float = 300.0,
     ) -> None:
         self._engines: dict[str, TrapiEngine] = {}
         self._logs: dict[str, deque] = {}
@@ -111,6 +129,48 @@ class KpRegistry:
         # /rebuild requires this token when set (reference auth_request,
         # rebuild_main.py:45-68); None disables the endpoint entirely.
         self.rebuild_token = rebuild_token
+        self.backlog = backlog
+        self.queue_wait_sec = queue_wait_sec
+        self._worker_slots = (
+            threading.Semaphore(max_workers) if max_workers else None
+        )
+        self._queue_lock = threading.Lock()
+        self._n_queued = 0
+
+    @contextlib.contextmanager
+    def admission(self):
+        """Bounded-worker admission (see class docstring).  503s raise as
+        QueryError so ``handle`` maps them like any other guard."""
+        if self._worker_slots is None:
+            yield
+            return
+        acquired = self._worker_slots.acquire(blocking=False)
+        if not acquired:
+            # all workers busy: join the bounded backlog (or 503)
+            with self._queue_lock:
+                if self._n_queued >= self.backlog:
+                    raise QueryError(
+                        503,
+                        "Server busy: request backlog is full — retry later.",
+                    )
+                self._n_queued += 1
+            try:
+                acquired = self._worker_slots.acquire(
+                    timeout=self.queue_wait_sec
+                )
+            finally:
+                with self._queue_lock:
+                    self._n_queued -= 1
+            if not acquired:
+                raise QueryError(
+                    503,
+                    "Server busy: no worker became available within "
+                    f"{self.queue_wait_sec:.0f}s — retry later.",
+                )
+        try:
+            yield
+        finally:
+            self._worker_slots.release()
 
     def register(self, name: str, engine: TrapiEngine) -> None:
         self._engines[name] = engine
@@ -375,9 +435,10 @@ def handle(
         if path == "query":
             eng = registry.engine(endpoint)
             t0 = _time.time()
-            body = run_query_with_timeout(
-                eng, payload, timeout_sec=registry.query_timeout_sec
-            )
+            with registry.admission():
+                body = run_query_with_timeout(
+                    eng, payload, timeout_sec=registry.query_timeout_sec
+                )
             # /debug/last per-query stats (reference main.py:554-568 keeps
             # the most recent snapshot; here the most useful "last" signal
             # is what the last query did and cost)
@@ -395,15 +456,17 @@ def handle(
             return 200, body
         if path == "edges":
             eng = registry.engine(endpoint)
-            return 200, get_edges(eng, payload.get("pairs", []))
+            with registry.admission():
+                return 200, get_edges(eng, payload.get("pairs", []))
         if path == "neighbors":
             eng = registry.engine(endpoint)
-            return 200, get_neighbors(
-                eng,
-                payload.get("node_ids", []),
-                categories=payload.get("categories"),
-                predicates=payload.get("predicates"),
-            )
+            with registry.admission():
+                return 200, get_neighbors(
+                    eng,
+                    payload.get("node_ids", []),
+                    categories=payload.get("categories"),
+                    predicates=payload.get("predicates"),
+                )
         if path == "meta_knowledge_graph":
             return 200, registry.meta_kg(endpoint)
         if path == "sri_test_triples":

@@ -1,0 +1,353 @@
+"""Reference-parity scale benchmark (BASELINE.md "Targets").
+
+The reference deploys RTX-KG2 at ~7M nodes / ~30M edges, builds its indexes
+in ~1 hour on an r5a.4xlarge (16 vCPU / 128 GiB), and serves one-hop TRAPI
+queries under 100-way concurrency with zero gateway timeouts
+(reference README.md:213, test_burst_backpressure.py:26-28).  This script
+reproduces that envelope end-to-end on the Spark engine:
+
+1. GENERATE a deterministic synthetic KGX graph at that scale (pure column
+   expressions over ``spark.range`` — no driver-side loops), staged as
+   JSONL so the build includes real source parsing;
+2. BUILD ``build_knowledge_graph`` from the staged KGX files and persist
+   the serving artifacts with ``write_artifacts_bucketed`` (bucketed on
+   the lookup keys, the engine's production layout) — this phase is the
+   wall-clock compared against the reference's ~1 h;
+3. SERVE from the bucketed artifacts (cached), replay the reference's
+   burst: 100 concurrent mixed TRAPI requests under the production 45 s
+   harakiri — zero 504s required — and record p50/p95 latency.
+
+Run:  python scalebench.py            (full 7M/30M — ~128 GiB box)
+      SCALEBENCH_NODES=700000 SCALEBENCH_EDGES=3000000 python scalebench.py
+Writes SCALEBENCH.md + prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+N_NODES = int(os.environ.get("SCALEBENCH_NODES", 7_000_000))
+N_EDGES = int(os.environ.get("SCALEBENCH_EDGES", 30_000_000))
+N_SUBCLASS = int(os.environ.get("SCALEBENCH_SUBCLASS", 500_000))
+N_HUBS = 1_000          # 10% of edges land on hub objects (hot keys)
+BURST_REQUESTS = 100
+WORK_DIR = os.environ.get("SCALEBENCH_DIR", "/tmp/scalebench")
+HARAKIRI_SEC = 45       # reference uwsgi.ini:10
+
+CATEGORIES = [
+    "biolink:Gene",
+    "biolink:Disease",
+    "biolink:ChemicalEntity",
+    "biolink:Protein",
+    "biolink:PhenotypicFeature",
+    "biolink:SmallMolecule",
+    "biolink:Drug",
+    "biolink:Pathway",
+]
+# ~10% stored non-canonical (treated_by) to exercise the build-time flip.
+PREDICATES = [
+    "biolink:treats",
+    "biolink:interacts_with",
+    "biolink:affects",
+    "biolink:related_to",
+    "biolink:causes",
+    "biolink:contributes_to",
+    "biolink:coexists_with",
+    "biolink:produces",
+    "biolink:located_in",
+    "biolink:treated_by",
+]
+SOURCES = [f"infores:src{i}" for i in range(5)]
+
+
+def jvm_peak_rss_gb(spark) -> float | None:
+    """Peak resident set (VmHWM) of the driver JVM, via /proc."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid  # noqa: SLF001
+    except Exception:
+        pid = None
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/status", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / (1024 * 1024), 2)
+    except OSError:
+        pass
+    return None
+
+
+def generate_kgx(spark, kgx_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    cats = F.array(*[F.lit(c) for c in CATEGORIES])
+    nodes = spark.range(N_NODES).select(
+        F.concat(F.lit("SB:"), F.col("id")).alias("id"),
+        F.concat(F.lit("node "), F.col("id")).alias("name"),
+        F.array(
+            F.element_at(cats, (F.col("id") % len(CATEGORIES)).cast("int") + 1)
+        ).alias("all_categories"),
+        # 2% of nodes carry an equivalent-id array (drives the synonym map)
+        F.when(
+            F.col("id") % 50 == 0,
+            F.array(
+                F.concat(F.lit("ALIAS:"), F.col("id")),
+                F.concat(F.lit("SB:"), F.col("id")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("equivalent_curies"),
+    )
+    nodes.write.mode("overwrite").json(f"{kgx_dir}/nodes.jsonl")
+
+    preds = F.array(*[F.lit(p) for p in PREDICATES])
+    srcs = F.array(*[F.lit(s) for s in SOURCES])
+    h1 = F.abs(F.xxhash64(F.col("id"), F.lit(1)))
+    h2 = F.abs(F.xxhash64(F.col("id"), F.lit(2)))
+    h3 = F.abs(F.xxhash64(F.col("id"), F.lit(3)))
+    # 10% of edges point at one of N_HUBS hub nodes — the hot-key skew a
+    # real KG has (AQE skew-join handles it at build; serving reads are
+    # per-node bucket lookups so hubs only mean bigger answers).
+    obj_id = F.when(h2 % 10 == 0, h2 % N_HUBS).otherwise(h2 % N_NODES)
+    edges = spark.range(N_EDGES).select(
+        F.concat(F.lit("e"), F.col("id")).alias("id"),
+        F.concat(F.lit("SB:"), h1 % N_NODES).alias("subject"),
+        F.concat(F.lit("SB:"), obj_id).alias("object"),
+        F.element_at(preds, (h3 % len(PREDICATES)).cast("int") + 1).alias(
+            "predicate"
+        ),
+        F.element_at(srcs, (h3 % len(SOURCES)).cast("int") + 1).alias(
+            "primary_knowledge_source"
+        ),
+        F.when(h1 % 2 == 0, F.lit("knowledge_assertion"))
+        .otherwise(F.lit("prediction"))
+        .alias("knowledge_level"),
+        F.when(h1 % 2 == 0, F.lit("manual_agent"))
+        .otherwise(F.lit("automated_agent"))
+        .alias("agent_type"),
+        F.when(
+            h3 % 20 == 0, F.array(F.concat(F.lit("PMID:"), h3 % 1_000_000))
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("publications"),
+    )
+    # Ontology forest: nodes [1, N_SUBCLASS) subclass their id//10 parent
+    # (fanout 10, depth ~log10 N_SUBCLASS).  Mega-fanout top ancestors are
+    # exactly what the reference's >5000-descendant prune targets.
+    sub = spark.range(1, N_SUBCLASS).select(
+        F.concat(F.lit("sub"), F.col("id")).alias("id"),
+        F.concat(F.lit("SB:"), F.col("id")).alias("subject"),
+        F.concat(F.lit("SB:"), (F.col("id") / 10).cast("long")).alias("object"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        F.lit("infores:ontology").alias("primary_knowledge_source"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+        F.array().cast("array<string>").alias("publications"),
+    )
+    edges.unionByName(sub).write.mode("overwrite").json(f"{kgx_dir}/edges.jsonl")
+
+
+def build(spark, kgx_dir: str, art_dir: str) -> dict:
+    from ploverdb_spark.build.ingest import (
+        build_knowledge_graph,
+        write_artifacts_bucketed,
+    )
+    from ploverdb_spark.sources.kgx import KgxConfig, read_kgx_auto
+
+    config = KgxConfig()
+    # sampled schema inference: the staged KGX rows are structurally
+    # homogeneous, so a 1% sample sees every column — full inference
+    # would add a second complete parse of the 30M-edge file
+    nodes = read_kgx_auto(
+        spark,
+        f"{kgx_dir}/nodes.jsonl",
+        config,
+        required=("id",),
+        sampling_ratio=0.01,
+    )
+    edges = read_kgx_auto(
+        spark,
+        f"{kgx_dir}/edges.jsonl",
+        config,
+        required=("subject", "predicate", "object"),
+        sampling_ratio=0.01,
+    )
+    kg = build_knowledge_graph(nodes, edges, config)
+    tables = write_artifacts_bucketed(kg, art_dir, prefix="scalebench")
+    return tables
+
+
+def burst(registry, rng_seed: int = 7) -> dict:
+    """100 concurrent mixed TRAPI requests (reference
+    test_burst_backpressure.py:26-28): every request answered, zero 504s."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ploverdb_spark.api import handle
+
+    rng = random.Random(rng_seed)
+
+    def req(i: int):
+        kind = i % 4
+        nid = f"SB:{rng.randrange(N_NODES)}"
+        hub = f"SB:{rng.randrange(N_HUBS)}"
+        if kind == 0:  # one-hop from a random pinned node
+            qg = {
+                "nodes": {
+                    "n00": {"ids": [nid]},
+                    "n01": {"categories": ["biolink:Disease"]},
+                },
+                "edges": {
+                    "e00": {
+                        "subject": "n00",
+                        "object": "n01",
+                        "predicates": ["biolink:treats"],
+                    }
+                },
+            }
+            payload, path = {"message": {"query_graph": qg}}, "query"
+        elif kind == 1:  # one-hop INTO a hub (big answer)
+            qg = {
+                "nodes": {"n00": {}, "n01": {"ids": [hub]}},
+                "edges": {
+                    "e00": {
+                        "subject": "n00",
+                        "object": "n01",
+                        "predicates": ["biolink:interacts_with"],
+                    }
+                },
+            }
+            payload, path = {"message": {"query_graph": qg}}, "query"
+        elif kind == 2:  # doubly pinned
+            qg = {
+                "nodes": {
+                    "n00": {"ids": [nid, hub]},
+                    "n01": {"ids": [f"SB:{rng.randrange(N_NODES)}", hub]},
+                },
+                "edges": {"e00": {"subject": "n00", "object": "n01"}},
+            }
+            payload, path = {"message": {"query_graph": qg}}, "query"
+        else:  # batch neighbors
+            payload, path = (
+                {"node_ids": [nid, hub], "categories": ["biolink:Gene"]},
+                "neighbors",
+            )
+        t0 = time.time()
+        status, _ = handle(registry, path, payload)
+        return status, time.time() - t0
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=BURST_REQUESTS) as pool:
+        outcomes = list(pool.map(req, range(BURST_REQUESTS)))
+    wall = time.time() - t0
+    lat = sorted(s for _, s in outcomes)
+    statuses = [s for s, _ in outcomes]
+    return {
+        "n_requests": len(outcomes),
+        "burst_wall_sec": round(wall, 2),
+        "n_504": sum(1 for s in statuses if s == 504),
+        "n_ok": sum(1 for s in statuses if s == 200),
+        "status_histogram": {
+            str(s): statuses.count(s) for s in sorted(set(statuses))
+        },
+        "latency_p50_sec": round(statistics.median(lat), 3),
+        "latency_p95_sec": round(lat[int(0.95 * (len(lat) - 1))], 3),
+        "latency_max_sec": round(lat[-1], 3),
+    }
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    from ploverdb_spark.session import get_spark
+
+    spark = get_spark("scalebench")
+    kgx_dir, art_dir = f"{WORK_DIR}/kgx", f"{WORK_DIR}/artifacts"
+    report: dict = {
+        "n_nodes": N_NODES,
+        "n_edges": N_EDGES,
+        "n_subclass_edges": N_SUBCLASS,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+
+    t0 = time.time()
+    generate_kgx(spark, kgx_dir)
+    report["generate_sec"] = round(time.time() - t0, 1)
+    print(f"# generated KGX staging in {report['generate_sec']}s", flush=True)
+
+    t0 = time.time()
+    build(spark, kgx_dir, art_dir)
+    report["build_sec"] = round(time.time() - t0, 1)
+    report["build_min"] = round(report["build_sec"] / 60, 1)
+    report["jvm_peak_rss_gb_after_build"] = jvm_peak_rss_gb(spark)
+    du = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(art_dir)
+        for f in fs
+    )
+    report["artifact_gb"] = round(du / (1024**3), 2)
+    print(
+        f"# build+artifacts in {report['build_min']} min, "
+        f"{report['artifact_gb']} GB on disk",
+        flush=True,
+    )
+
+    # Serve from the bucketed artifacts, cached (the production stance).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    from ploverdb_spark.api import KpRegistry
+    from ploverdb_spark.build.ingest import read_artifacts_bucketed
+    from ploverdb_spark.query.compiler import TrapiEngine
+
+    t0 = time.time()
+    kg = read_artifacts_bucketed(spark, prefix="scalebench").persist()
+    engine = TrapiEngine(kg, kp_infores_curie="infores:scalebench")
+    registry = KpRegistry(query_timeout_sec=HARAKIRI_SEC)
+    registry.register("scalebench", engine)
+    report["serve_warm_sec"] = round(time.time() - t0, 1)
+    print(f"# serving tables cached in {report['serve_warm_sec']}s", flush=True)
+
+    report["burst"] = burst(registry)
+    report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
+    print(json.dumps(report), flush=True)
+
+    with open("SCALEBENCH.md", "w", encoding="utf-8") as f:
+        b = report["burst"]
+        f.write(
+            f"""# SCALEBENCH — reference-parity envelope ({N_NODES:,} nodes / {N_EDGES + N_SUBCLASS:,} edges)
+
+Reference deployment (BASELINE.md): RTX-KG2 at ~7M nodes / ~30M edges,
+**~1 h build** on r5a.4xlarge (16 vCPU / 128 GiB), 90 GiB resident,
+100-concurrent burst with zero 504s.
+
+This run (local[{report["cpus"]}], single JVM, {os.environ.get("SPARK_GRAFT_DRIVER_MEM")} heap):
+
+| Metric | Value | Reference bar |
+|---|---|---|
+| Build + bucketed artifacts | **{report["build_min"]} min** | ~60 min |
+| Peak JVM RSS after build | {report["jvm_peak_rss_gb_after_build"]} GiB | 90 GiB at rest |
+| Artifact footprint | {report["artifact_gb"]} GB | 25 GB (pickled) |
+| Serving warm-up (cache + engine) | {report["serve_warm_sec"]} s | container start |
+| Burst: requests | {b["n_requests"]} concurrent | 100 concurrent |
+| Burst: 504s | **{b["n_504"]}** | 0 allowed |
+| Burst: HTTP statuses | {b["status_histogram"]} | 200s (+503 backpressure ok) |
+| Burst: p50 / p95 / max latency | {b["latency_p50_sec"]} / {b["latency_p95_sec"]} / {b["latency_max_sec"]} s | < 45 s harakiri |
+| Burst wall clock | {b["burst_wall_sec"]} s | 60 s client timeout |
+
+Graph shape: {len(CATEGORIES)} categories, {len(PREDICATES)} predicates
+(~10% stored non-canonical, flipped at build), 2% of nodes with
+equivalent-id arrays, 10% of edges on {N_HUBS} hub objects (hot keys),
+{N_SUBCLASS:,}-node subclass forest (fanout 10) driving the
+depth-capped, prune-filtered transitive closure.
+
+Reproduce: `python scalebench.py` (sizes via SCALEBENCH_NODES /
+SCALEBENCH_EDGES / SCALEBENCH_SUBCLASS).
+"""
+        )
+    print("# wrote SCALEBENCH.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -316,6 +316,52 @@ def test_debug_endpoint(registry):
     assert "graft" in body["endpoints"]
 
 
+def test_admission_control_backpressure(registry):
+    """Bounded-worker admission (reference nginx backlog + uWSGI pool,
+    uwsgi.ini:33): beyond-backlog requests get 503 immediately; a queue
+    wait past queue_wait_sec also 503s.  Neither ever 504s."""
+    import threading
+
+    from ploverdb_spark.api import KpRegistry
+    from ploverdb_spark.query.compiler import QueryError
+
+    reg = KpRegistry(max_workers=1, backlog=0, queue_wait_sec=0.05)
+    reg.register("graft", registry.engine("graft"))
+    # hold the only worker slot; with backlog 0 the next request 503s
+    with reg.admission():
+        status, body = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+        assert status == 503 and "busy" in body["error"]
+    # slot free again -> request succeeds
+    status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+    assert status == 200
+
+    # queue-wait timeout: one slot held, backlog allows queueing, but no
+    # worker frees within queue_wait_sec
+    reg2 = KpRegistry(max_workers=1, backlog=8, queue_wait_sec=0.05)
+    reg2.register("graft", registry.engine("graft"))
+    with reg2.admission():
+        status, body = handle(reg2, "neighbors", {"node_ids": ["N:0"]})
+        assert status == 503 and "worker" in body["error"]
+
+    # queued request proceeds once the worker frees (no 503)
+    reg3 = KpRegistry(max_workers=1, backlog=8, queue_wait_sec=30)
+    reg3.register("graft", registry.engine("graft"))
+    release = threading.Event()
+    statuses = []
+
+    def queued():
+        statuses.append(handle(reg3, "neighbors", {"node_ids": ["N:0"]})[0])
+
+    cm = reg3.admission()
+    cm.__enter__()
+    t = threading.Thread(target=queued)
+    t.start()
+    release.wait(0.2)  # let it enqueue
+    cm.__exit__(None, None, None)
+    t.join(timeout=60)
+    assert statuses == [200]
+
+
 def test_debug_last_endpoint(registry):
     """GET /debug/last (reference main.py:554-568, mirrored from
     test_non_query_commands.py): cached snapshot + captured_at + note,
