@@ -64,6 +64,14 @@ def run_query_with_timeout(
 
     def target() -> None:
         sc.setJobGroup(group, "TRAPI query", interruptOnCancel=True)
+        # One FAIR pool per query: with spark.scheduler.mode=FAIR, jobs
+        # inside a single pool still run FIFO — a burst's jobs all land in
+        # the default pool and serialize behind each other (measured: the
+        # burst wall tracked the FIFO queue, mass-504ing the tail).
+        # Distinct (ad-hoc) pools share the cluster fairly, so every
+        # in-flight query makes progress and the harakiri clock measures
+        # its own work.
+        sc.setLocalProperty("spark.scheduler.pool", group)
         try:
             out["body"] = run_query(engine, query)
         except BaseException as e:  # noqa: BLE001 — relayed to caller
@@ -73,6 +81,7 @@ def run_query_with_timeout(
             # thread-local properties is the supported equivalent.
             sc.setLocalProperty("spark.jobGroup.id", None)
             sc.setLocalProperty("spark.job.interruptOnCancel", None)
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     t = threading.Thread(target=target, daemon=True)
     t.start()
@@ -85,6 +94,18 @@ def run_query_with_timeout(
     if "error" in out:
         raise out["error"]
     return out["body"]
+
+@contextlib.contextmanager
+def _request_pool(engine: TrapiEngine):
+    """Per-request FAIR scheduler pool (see run_query_with_timeout's pool
+    note) for Spark-heavy endpoints served on the request thread."""
+    sc = engine.spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", f"req-{next(_query_seq)}")
+    try:
+        yield
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+
 
 LOG_TAIL_MAX = 2000  # parity with main.py:635 (num_lines clamp 1..2000)
 
@@ -456,11 +477,11 @@ def handle(
             return 200, body
         if path == "edges":
             eng = registry.engine(endpoint)
-            with registry.admission():
+            with registry.admission(), _request_pool(eng):
                 return 200, get_edges(eng, payload.get("pairs", []))
         if path == "neighbors":
             eng = registry.engine(endpoint)
-            with registry.admission():
+            with registry.admission(), _request_pool(eng):
                 return 200, get_neighbors(
                     eng,
                     payload.get("node_ids", []),

@@ -25,6 +25,7 @@ Errors mirror the reference's HTTP semantics via :class:`QueryError`
 from __future__ import annotations
 
 import itertools
+import threading
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,6 +71,39 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
+# Beyond this many ids the IN-list stops helping (plan bloat) and the
+# broadcast join alone is the right shape.
+MAX_ISIN_PUSHDOWN = 8192
+
+
+def pushdown_id_filter(df: DataFrame, col_name: str, ids) -> DataFrame:
+    """Add an ``isin`` filter for a driver-known id set ON TOP of the
+    (semantically sufficient) broadcast join.
+
+    Why this matters at scale: a broadcast hash join must STREAM THE
+    ENTIRE probe side — every point lookup against a 30M-edge
+    ``edges_bidir`` scans all of it (measured: interactive one-hop
+    degrading to minutes under 16-way concurrency at reference scale).
+    The redundant ``isin`` reaches the scan as a pushed filter, so a
+    bucketed-parquet read prunes to the matching buckets
+    (``SelectedBucketsCount``) and a cached read prunes in-memory batches
+    via min/max stats (the serving tables are written sorted on these
+    keys) — per-query work becomes proportional to the matched slice.
+    """
+    ids = list(ids) if ids is not None else None
+    if ids and len(ids) <= MAX_ISIN_PUSHDOWN:
+        # The redundant BETWEEN matters for the cached path: id lists over
+        # the In->InSet conversion threshold (10) reach the
+        # InMemoryTableScan as InSet, which its stat-based batch pruning
+        # ignores — min/max range predicates always prune, and the serving
+        # tables are sorted on these keys so the ranges are tight.
+        return df.where(
+            F.col(col_name).between(min(ids), max(ids))
+            & F.col(col_name).isin(ids)
+        )
+    return df
+
+
 class TrapiEngine:
     """Serves TRAPI one-hop / edgeless queries over a KnowledgeGraph."""
 
@@ -109,29 +143,61 @@ class TrapiEngine:
         # False = not yet decided; None = too big, use join fallback
         self._synonym_map: dict[str, str] | None | bool = False
         self._closure_map: dict[str, list[str]] | None | bool = False
+        # Builds are serialized: without the lock, the first burst of
+        # concurrent queries each re-collects the (up to 2M-row) maps —
+        # measured as minutes of redundant driver work at reference scale.
+        self._maps_lock = threading.Lock()
+
+    @staticmethod
+    def _collect_two_columns(df: DataFrame, c1: str, c2: str):
+        """Arrow-batched two-column collect: orders of magnitude faster
+        than row-wise py4j collect() for the million-row driver maps."""
+        tbl = df.select(c1, c2).toArrow()
+        return zip(tbl.column(c1).to_pylist(), tbl.column(c2).to_pylist())
 
     def _get_synonym_map(self) -> dict[str, str] | None:
-        if self._synonym_map is False:
-            syn = self.kg.id_synonyms
-            if syn.limit(self._driver_map_max_rows + 1).count() <= self._driver_map_max_rows:
-                self._synonym_map = {
-                    r.alias_id: r.preferred_id for r in syn.collect()
-                }
-            else:
-                self._synonym_map = None
+        with self._maps_lock:
+            if self._synonym_map is False:
+                syn = self.kg.id_synonyms
+                if (
+                    syn.limit(self._driver_map_max_rows + 1).count()
+                    <= self._driver_map_max_rows
+                ):
+                    self._synonym_map = dict(
+                        self._collect_two_columns(syn, "alias_id", "preferred_id")
+                    )
+                else:
+                    self._synonym_map = None
         return self._synonym_map
 
     def _get_closure_map(self) -> dict[str, list[str]] | None:
-        if self._closure_map is False:
-            clo = self.kg.subclass_closure
-            if clo.limit(self._driver_map_max_rows + 1).count() <= self._driver_map_max_rows:
-                m: dict[str, list[str]] = {}
-                for r in clo.collect():
-                    m.setdefault(r.ancestor, []).append(r.descendant)
-                self._closure_map = m
-            else:
-                self._closure_map = None
+        with self._maps_lock:
+            if self._closure_map is False:
+                clo = self.kg.subclass_closure
+                if (
+                    clo.limit(self._driver_map_max_rows + 1).count()
+                    <= self._driver_map_max_rows
+                ):
+                    m: dict[str, list[str]] = {}
+                    for anc, desc in self._collect_two_columns(
+                        clo, "ancestor", "descendant"
+                    ):
+                        m.setdefault(anc, []).append(desc)
+                    self._closure_map = m
+                else:
+                    self._closure_map = None
         return self._closure_map
+
+    def warmup(self) -> "TrapiEngine":
+        """Eagerly build every driver-resident structure (synonym map,
+        closure map, conglomerate index) — the Spark analog of the
+        reference's startup ``load_indexes`` (plover.py:1384-1422).
+        Serving deployments call this before taking traffic so the first
+        concurrent burst doesn't pay the builds inline."""
+        self._get_synonym_map()
+        self._get_closure_map()
+        self._conglomerate_descendant_index()
+        return self
 
     # ------------------------------------------------------------------
     # driver-side query compilation (R1-R6)
@@ -164,7 +230,15 @@ class TrapiEngine:
     def _conglomerate_descendant_index(self) -> dict[str, set[str]]:
         """G4 (plover.py:1486-1519): ancestor qualifier-combo string ->
         conglomerate predicates present in the KG.  Built once from the
-        *distinct* qualifier combos (ontology-sized, safe to collect)."""
+        *distinct* qualifier combos (ontology-sized, safe to collect).
+        Lock-guarded like the driver maps: the distinct() is one full scan
+        of edges_bidir — concurrent first queries must not each run it."""
+        if self._conglomerate_index is not None:
+            return self._conglomerate_index
+        with self._maps_lock:
+            return self._build_conglomerate_index()
+
+    def _build_conglomerate_index(self) -> dict[str, set[str]]:
         if self._conglomerate_index is not None:
             return self._conglomerate_index
         combos = (
@@ -334,6 +408,27 @@ class TrapiEngine:
     # distributed lookup
     # ------------------------------------------------------------------
 
+    def _expansion_pairs_local(
+        self, ids: list[str]
+    ) -> list[tuple[str, str]] | None:
+        """Driver-map fast path for the subclass expansion: the bounded
+        (query_id, node_id) pair list, or None when the closure exceeds
+        the driver-map size guard (distributed expansion required).  The
+        explicit list also feeds the scan-pruning id pushdown in
+        :meth:`lookup` — only possible when the ids are enumerable on the
+        driver."""
+        closure_map = self._get_closure_map()
+        if closure_map is None:
+            return None
+        pairs: dict[str, str] = {}
+        for qid in sorted(ids):
+            for desc in closure_map.get(qid, []):
+                if desc not in pairs:
+                    pairs[desc] = qid
+        for qid in ids:
+            pairs[qid] = qid  # self-binding wins
+        return [(q, n) for n, q in pairs.items()]
+
     def expand_with_subclasses(self, qnode_key: str, ids: list[str]) -> DataFrame:
         """J5 (plover.py:1834-1865): ids -> (query_id, node_id) including
         transitive subclass descendants, with provenance.  Self-pairs win
@@ -343,18 +438,9 @@ class TrapiEngine:
         expansion is bounded (<=5,000 descendants/parent, closure.py), so
         the pair list stays query-sized and costs no Spark actions.
         """
-        closure_map = self._get_closure_map()
-        if closure_map is not None:
-            pairs: dict[str, str] = {}
-            for qid in sorted(ids):
-                for desc in closure_map.get(qid, []):
-                    if desc not in pairs:
-                        pairs[desc] = qid
-            for qid in ids:
-                pairs[qid] = qid  # self-binding wins
-            return self._tiny_df(
-                [(q, n) for n, q in pairs.items()], "query_id string, node_id string"
-            )
+        local = self._expansion_pairs_local(ids)
+        if local is not None:
+            return self._tiny_df(local, "query_id string, node_id string")
         ids_df = self._tiny_df([(i,) for i in ids], "query_id string")
         closure = self.kg.subclass_closure
         desc = (
@@ -388,7 +474,10 @@ class TrapiEngine:
         )
 
     def lookup(
-        self, qg: dict, persist_answers: bool = True
+        self,
+        qg: dict,
+        persist_answers: bool = True,
+        enforce_cutoff: bool = True,
     ) -> tuple[CompiledQEdge, DataFrame]:
         """Compile + execute the one-hop lookup; returns the compiled edge
         metadata and the answer-edge DataFrame with columns:
@@ -398,6 +487,9 @@ class TrapiEngine:
         ``persist_answers=True`` caches the answer set for the multi-pass
         response assembly (run_query unpersists it).  Single-pass callers
         should pass False to avoid leaking cache entries.
+        ``enforce_cutoff=False`` skips the F5 answer-size action — for
+        callers whose own first action bounds the answer volume anyway
+        (run_query's fast path) and enforces the cutoff themselves.
         """
         qg = self._canonical_qg_flip(qg)
         qedge_key = next(iter(qg["edges"]))
@@ -446,9 +538,21 @@ class TrapiEngine:
                 self.canonicalize_ids(ids_by_key[input_key]).values()
             )
         )
-        input_df = self.expand_with_subclasses(input_key, input_ids)
+        input_pairs = self._expansion_pairs_local(input_ids)
+        if input_pairs is not None:
+            input_df = self._tiny_df(
+                input_pairs, "query_id string, node_id string"
+            )
+        else:
+            input_df = self.expand_with_subclasses(input_key, input_ids)
 
         bidir = self.kg.edges_bidir
+        if input_pairs is not None:
+            # scan pruning: see pushdown_id_filter — without it every
+            # lookup full-scans the serving index
+            bidir = pushdown_id_filter(
+                bidir, "node_id", [n for _, n in input_pairs]
+            )
         match_col = "conglomerate_predicate" if use_congl else "predicate"
         required_dir = DIR_FORWARD if input_is_subject else DIR_REVERSE
 
@@ -489,7 +593,16 @@ class TrapiEngine:
                     self.canonicalize_ids(compiled.output_ids).values()
                 )
             )
-            output_df = self.expand_with_subclasses(output_key, out_ids)
+            out_pairs = self._expansion_pairs_local(out_ids)
+            if out_pairs is not None:
+                output_df = self._tiny_df(
+                    out_pairs, "query_id string, node_id string"
+                )
+                matched = pushdown_id_filter(
+                    matched, "neighbor_id", [n for _, n in out_pairs]
+                )
+            else:
+                output_df = self.expand_with_subclasses(output_key, out_ids)
             matched = matched.join(
                 F.broadcast(
                     output_df.select(
@@ -546,22 +659,27 @@ class TrapiEngine:
         # Any failure here (including job-group cancellation from the 45s
         # timeout) must unpersist, or the cached answers leak for the
         # session's lifetime.
-        if self.answer_cutoff is not None:
+        if enforce_cutoff:
             try:
-                over = matched.limit(self.answer_cutoff + 1).count()
+                self.enforce_answer_cutoff(matched)
             except BaseException:
                 if persist_answers:
                     matched.unpersist()
                 raise
-            if over > self.answer_cutoff:
-                if persist_answers:
-                    matched.unpersist()
-                raise QueryError(
-                    403,
-                    f"Answer is too large: more than {self.answer_cutoff} edges "
-                    "match. Please refine your query.",
-                )
         return compiled, matched
+
+    def enforce_answer_cutoff(self, answers: DataFrame) -> None:
+        """F5 (plover.py:2051-2058): 403 when the answer exceeds the
+        cutoff; limit(cutoff+1) bounds the check's work."""
+        if self.answer_cutoff is None:
+            return
+        over = answers.limit(self.answer_cutoff + 1).count()
+        if over > self.answer_cutoff:
+            raise QueryError(
+                403,
+                f"Answer is too large: more than {self.answer_cutoff} edges "
+                "match. Please refine your query.",
+            )
 
     # ------------------------------------------------------------------
     # validation / dispatch
@@ -612,8 +730,16 @@ class TrapiEngine:
                 "'ids' specified.",
             )
         canon = list(dict.fromkeys(self.canonicalize_ids(ids).values()))
-        expanded = self.expand_with_subclasses(qnode_key, canon)
+        pairs = self._expansion_pairs_local(canon)
+        if pairs is not None:
+            expanded = self._tiny_df(pairs, "query_id string, node_id string")
+            nodes = pushdown_id_filter(
+                self.kg.nodes, "id", [n for _, n in pairs]
+            )
+        else:
+            expanded = self.expand_with_subclasses(qnode_key, canon)
+            nodes = self.kg.nodes
         found = expanded.join(
-            self.kg.nodes.select(F.col("id").alias("node_id")), on="node_id"
+            nodes.select(F.col("id").alias("node_id")), on="node_id"
         )
         return qnode_key, found

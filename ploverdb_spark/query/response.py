@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD
 from ploverdb_spark.functions.localdf import tiny_df
-from ploverdb_spark.query.compiler import CompiledQEdge, TrapiEngine
+from ploverdb_spark.query.compiler import (
+    MAX_ISIN_PUSHDOWN,
+    CompiledQEdge,
+    TrapiEngine,
+    pushdown_id_filter,
+)
 
 CORE_NODE_PROPS = {"id", "name", "categories", "all_categories"}
 CORE_EDGE_PROPS = {
@@ -398,7 +403,9 @@ def _node_to_trapi_kp(row: dict, kp: str, shells: dict | None = None) -> dict:
 
 # Below this many answer edges a driver-side loop beats the Python-worker
 # spin-up of the distributed serializer; above it, mapInPandas wins and
-# keeps winning all the way to the 1M-edge cutoff.
+# keeps winning all the way to the 1M-edge cutoff.  (Measured at the 30M-
+# edge burst: routing ~3k-edge answers through the distributed path costs
+# more in extra per-query actions than it saves in driver GIL time.)
 DISTRIBUTED_SERIALIZE_MIN_EDGES = 5000
 
 
@@ -451,9 +458,18 @@ def hydrate_knowledge_graph(
     node_ids = answers.select(
         F.col("input_id").alias("nid")
     ).unionByName(answers.select(F.col("output_id").alias("nid"))).distinct()
-    hydrated = engine.kg.nodes.join(
-        F.broadcast(node_ids), engine.kg.nodes.id == node_ids.nid, "left_semi"
-    )
+    # For answer sets under the isin cap, collect the (persisted) ids and
+    # push them into the nodes scan — the semi-join alone full-scans the
+    # node table per query (see pushdown_id_filter).
+    nid_sample = node_ids.limit(MAX_ISIN_PUSHDOWN + 1).collect()
+    if len(nid_sample) <= MAX_ISIN_PUSHDOWN:
+        hydrated = engine.kg.nodes.where(
+            F.col("id").isin([r.nid for r in nid_sample])
+        )
+    else:
+        hydrated = engine.kg.nodes.join(
+            F.broadcast(node_ids), engine.kg.nodes.id == node_ids.nid, "left_semi"
+        )
     if distributed:
         node_rows = hydrated.mapInPandas(
             _json_serializer(
@@ -547,64 +563,192 @@ def _slim_tuple_response(
     }
 
 
+def _edges_from_rows(engine: TrapiEngine, rows, shells) -> dict[str, dict]:
+    """Answer row dicts -> TRAPI edge dicts, reconstructing subject/object
+    from the traversal direction (same math as hydrate_knowledge_graph's
+    edge_df; both orientations of one edge reconstruct identically, so
+    dedup by id is orientation-independent)."""
+    edges: dict[str, dict] = {}
+    for r in rows:
+        eid = str(r["id"])
+        if eid in edges:
+            continue
+        d = dict(r)
+        if d.get("direction") == DIR_FORWARD:
+            d["subject"], d["object"] = d["input_id"], d["output_id"]
+        else:
+            d["subject"], d["object"] = d["output_id"], d["input_id"]
+        edges[eid] = edge_to_trapi(d, engine.kp_infores_curie, shells)
+    return edges
+
+
+def _assemble_results_local(
+    rows, compiled: CompiledQEdge, qg: dict, kp_infores_curie: str
+) -> list[dict]:
+    """Driver-side twin of :func:`assemble_results` for already-collected
+    answers: identical grouping keys/sets, zero Spark actions."""
+    qnodes = qg["nodes"]
+    in_set = bool(qnodes[compiled.input_qnode_key].get("is_set"))
+    out_set = bool(qnodes[compiled.output_qnode_key].get("is_set"))
+    groups: dict[tuple, dict] = {}
+    for r in rows:
+        key = (
+            "*" if in_set else r["input_id"],
+            "*" if out_set else r["output_id"],
+        )
+        g = groups.setdefault(
+            key, {"edge_ids": set(), "inputs": set(), "outputs": set()}
+        )
+        g["edge_ids"].add(str(r["id"]))
+        g["inputs"].add((r["input_id"], r["input_query_id"]))
+        g["outputs"].add((r["output_id"], r["output_query_id"]))
+    results = []
+    for g in groups.values():
+        results.append(
+            {
+                "node_bindings": {
+                    compiled.input_qnode_key: [
+                        _result_node_binding(i, q) for i, q in g["inputs"]
+                    ],
+                    compiled.output_qnode_key: [
+                        _result_node_binding(o, q) for o, q in g["outputs"]
+                    ],
+                },
+                "analyses": [
+                    {
+                        "edge_bindings": {
+                            compiled.qedge_key: [
+                                {"id": e, "attributes": []}
+                                for e in g["edge_ids"]
+                            ]
+                        },
+                        "resource_id": kp_infores_curie,
+                    }
+                ],
+                "resource_id": kp_infores_curie,
+            }
+        )
+    return results
+
+
+def _fetch_nodes(engine: TrapiEngine, node_ids, shells) -> dict[str, dict]:
+    """One pruned scan of the node table -> TRAPI node dicts."""
+    ids = sorted(node_ids)
+    if not ids:
+        return {}
+    if len(ids) <= MAX_ISIN_PUSHDOWN:
+        hydrated = engine.kg.nodes.where(F.col("id").isin(ids))
+    else:
+        nid_df = tiny_df(engine.spark, [(n,) for n in ids], "nid string")
+        hydrated = engine.kg.nodes.join(
+            F.broadcast(nid_df), engine.kg.nodes.id == F.col("nid"), "left_semi"
+        )
+    # Arrow collect: node payloads carry arrays/structs, and py4j row-wise
+    # collect is the slow path for them
+    return {
+        d["id"]: node_to_trapi(d, engine.kp_infores_curie, shells)
+        for d in hydrated.toArrow().to_pylist()
+    }
+
+
 def run_query(engine: TrapiEngine, query: dict) -> dict:
     """POST /query (plover.py:1788-1932 lifecycle): full TRAPI response,
-    or the R6 legacy slim formats when the QG carries include_metadata."""
+    or the R6 legacy slim formats when the QG carries include_metadata.
+
+    Serving-latency design: answers under FAST-PATH size are collected in
+    ONE bounded action and the whole response (cutoff check, edge
+    serialization, result grouping) is assembled driver-side, plus one
+    pruned node-payload fetch — 2 Spark actions per query instead of ~6.
+    Under concurrent load the driver's job-scheduling throughput is the
+    serving bottleneck (measured at reference scale: 100-burst wall time
+    tracks total job count, not scan cost), so action count IS the
+    latency.  Big answers keep the distributed persist + mapInPandas
+    path."""
     logs = [_log_entry("INFO", "Received query")]
     qg = TrapiEngine.normalize_envelope(query)
     engine.validate(qg)
     if not qg.get("edges"):
         return _run_single_node_query(engine, qg)
+    include_metadata = qg.get("include_metadata")
+    if include_metadata is None:
+        compiled, matched = engine.lookup(
+            qg, persist_answers=False, enforce_cutoff=False
+        )
+        probe_n = DISTRIBUTED_SERIALIZE_MIN_EDGES
+        if engine.answer_cutoff is not None:
+            probe_n = min(probe_n, engine.answer_cutoff)
+        rows = matched.limit(probe_n + 1).toArrow().to_pylist()
+        if len(rows) <= probe_n:
+            # FAST PATH: every answer row is in hand (and under cutoff)
+            shells = attribute_shells_for(engine.kg.config)
+            edges = _edges_from_rows(engine, rows, shells)
+            results = _assemble_results_local(
+                rows, compiled, qg, engine.kp_infores_curie
+            )
+            node_ids = {r["input_id"] for r in rows} | {
+                r["output_id"] for r in rows
+            }
+            nodes = _fetch_nodes(engine, node_ids, shells)
+            logs.append(
+                _log_entry(
+                    "INFO", f"Done with query, returning {len(results)} results"
+                )
+            )
+            return {
+                "message": {
+                    "query_graph": qg,
+                    "knowledge_graph": {"nodes": nodes, "edges": edges},
+                    "results": results,
+                },
+                "logs": logs,
+            }
+        answers = matched.persist()
+        try:
+            engine.enforce_answer_cutoff(answers)
+            nodes, edges = hydrate_knowledge_graph(engine, answers)
+            results = assemble_results(
+                answers, compiled, qg, engine.kp_infores_curie
+            )
+        finally:
+            answers.unpersist()
+        logs.append(
+            _log_entry(
+                "INFO", f"Done with query, returning {len(results)} results"
+            )
+        )
+        return {
+            "message": {
+                "query_graph": qg,
+                "knowledge_graph": {"nodes": nodes, "edges": edges},
+                "results": results,
+            },
+            "logs": logs,
+        }
+
+    # R6 slim modes: collected-answer volume is caller-controlled; keep
+    # the persisted multi-pass path
     compiled, answers = engine.lookup(qg)  # returned persisted
     try:
-        include_metadata = qg.get("include_metadata")
         if include_metadata:
             return _slim_tuple_response(engine, compiled, answers)
-        if include_metadata is False:
-            # ids-only format (plover.py:1894-1901)
-            rows = answers.select("id", "input_id", "output_id").collect()
-            return {
-                "nodes": {
-                    compiled.input_qnode_key: sorted({r.input_id for r in rows}),
-                    compiled.output_qnode_key: sorted({r.output_id for r in rows}),
-                },
-                "edges": {compiled.qedge_key: sorted({str(r["id"]) for r in rows})},
-            }
-        nodes, edges = hydrate_knowledge_graph(engine, answers)
-        results = assemble_results(answers, compiled, qg, engine.kp_infores_curie)
+        # ids-only format (plover.py:1894-1901)
+        rows = answers.select("id", "input_id", "output_id").collect()
+        return {
+            "nodes": {
+                compiled.input_qnode_key: sorted({r.input_id for r in rows}),
+                compiled.output_qnode_key: sorted({r.output_id for r in rows}),
+            },
+            "edges": {compiled.qedge_key: sorted({str(r["id"]) for r in rows})},
+        }
     finally:
         answers.unpersist()
-    logs.append(
-        _log_entry("INFO", f"Done with query, returning {len(results)} results")
-    )
-    return {
-        "message": {
-            "query_graph": qg,
-            "knowledge_graph": {"nodes": nodes, "edges": edges},
-            "results": results,
-        },
-        "logs": logs,
-    }
 
 
 def _run_single_node_query(engine: TrapiEngine, qg: dict) -> dict:
     qnode_key, found = engine.single_node_lookup(qg)
     rows = found.collect()
     shells = attribute_shells_for(engine.kg.config)
-    hydrated = (
-        engine.kg.nodes.join(
-            F.broadcast(found.select(F.col("node_id").alias("nid"))),
-            engine.kg.nodes.id == F.col("nid"),
-            "left_semi",
-        )
-        .collect()
-    )
-    nodes = {
-        r["id"]: node_to_trapi(
-            r.asDict(recursive=True), engine.kp_infores_curie, shells
-        )
-        for r in hydrated
-    }
+    nodes = _fetch_nodes(engine, {r.node_id for r in rows}, shells)
     results = [
         {
             "node_bindings": {
@@ -637,7 +781,14 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
         [(canon.get(a, a), canon.get(b, b), a, b) for a, b in pairs],
         "node_a string, node_b string, orig_a string, orig_b string",
     )
+    canon_ids = sorted({canon.get(i, i) for i in flat_ids})
     e = engine.kg.edges
+    if canon_ids and len(canon_ids) <= MAX_ISIN_PUSHDOWN:
+        # scan pruning (see pushdown_id_filter): both join orientations
+        # require subject AND object in the requested id set
+        e = e.where(
+            F.col("subject").isin(canon_ids) & F.col("object").isin(canon_ids)
+        )
     fwd = e.join(
         F.broadcast(pairs_df),
         (e.subject == pairs_df.node_a) & (e.object == pairs_df.node_b),
@@ -723,7 +874,11 @@ def get_neighbors(
         [(canon.get(i, i), i) for i in node_ids],
         "node_id string, orig_id string",
     )
-    bidir = engine.kg.edges_bidir
+    bidir = pushdown_id_filter(
+        engine.kg.edges_bidir,
+        "node_id",
+        [canon.get(i, i) for i in node_ids],
+    )
     matched = (
         bidir.join(F.broadcast(ids_df), on="node_id")
         .where(pred_filter)

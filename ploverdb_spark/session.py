@@ -33,6 +33,12 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
+    # limit().collect() otherwise probes 1 partition, then 4, 16, ... —
+    # on a selective serving lookup (few matching rows) that is 4
+    # SEQUENTIAL job waves per query (~1.3s measured at 30M-edge scale
+    # where the single parallel wave costs ~0.2s).  Serving latency wants
+    # one wave over all partitions.
+    "spark.sql.limit.initialNumPartitions": "10000",
     # Spark 4.1's checksummed checkpoint writer deadlocks its async
     # commit on local-FS stateful-streaming state stores (observed:
     # HDFSBackedStateStore.commit stuck in

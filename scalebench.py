@@ -151,6 +151,38 @@ def generate_kgx(spark, kgx_dir: str) -> None:
     edges.unionByName(sub).write.mode("overwrite").json(f"{kgx_dir}/edges.jsonl")
 
 
+def register_tables(
+    spark, art_dir: str, prefix: str = "scalebench", buckets: int = 64
+) -> None:
+    """Re-register the bucketed artifact tables in a fresh session's
+    catalog (saveAsTable metadata lives in the in-memory catalog and dies
+    with the writing session; the parquet + layout on disk do not)."""
+    specs = {
+        "nodes": "id",
+        "edges": None,
+        "edges_bidir": "node_id",
+        "subclass_closure": "ancestor",
+        "id_synonyms": "alias_id",
+    }
+    for name, key in specs.items():
+        table = f"{prefix}_{name}"
+        path = f"{art_dir}/{table}"
+        df = spark.read.parquet(path)
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        clause = (
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS"
+            if key
+            else ""
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet {clause} "
+            f"LOCATION '{path}'"
+        )
+
+
 def build(spark, kgx_dir: str, art_dir: str) -> dict:
     from ploverdb_spark.build.ingest import (
         build_knowledge_graph,
@@ -261,6 +293,9 @@ def burst(registry, rng_seed: int = 7) -> dict:
 
 
 def main() -> None:
+    import sys
+
+    serve_only = "serve" in sys.argv[1:]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     from ploverdb_spark.session import get_spark
 
@@ -273,27 +308,33 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
     }
 
-    t0 = time.time()
-    generate_kgx(spark, kgx_dir)
-    report["generate_sec"] = round(time.time() - t0, 1)
-    print(f"# generated KGX staging in {report['generate_sec']}s", flush=True)
+    if serve_only:
+        register_tables(spark, art_dir, prefix="scalebench")
+        report["build_sec"] = report["build_min"] = report["generate_sec"] = None
+        report["jvm_peak_rss_gb_after_build"] = None
+        report["artifact_gb"] = None
+    else:
+        t0 = time.time()
+        generate_kgx(spark, kgx_dir)
+        report["generate_sec"] = round(time.time() - t0, 1)
+        print(f"# generated KGX staging in {report['generate_sec']}s", flush=True)
 
-    t0 = time.time()
-    build(spark, kgx_dir, art_dir)
-    report["build_sec"] = round(time.time() - t0, 1)
-    report["build_min"] = round(report["build_sec"] / 60, 1)
-    report["jvm_peak_rss_gb_after_build"] = jvm_peak_rss_gb(spark)
-    du = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(art_dir)
-        for f in fs
-    )
-    report["artifact_gb"] = round(du / (1024**3), 2)
-    print(
-        f"# build+artifacts in {report['build_min']} min, "
-        f"{report['artifact_gb']} GB on disk",
-        flush=True,
-    )
+        t0 = time.time()
+        build(spark, kgx_dir, art_dir)
+        report["build_sec"] = round(time.time() - t0, 1)
+        report["build_min"] = round(report["build_sec"] / 60, 1)
+        report["jvm_peak_rss_gb_after_build"] = jvm_peak_rss_gb(spark)
+        du = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(art_dir)
+            for f in fs
+        )
+        report["artifact_gb"] = round(du / (1024**3), 2)
+        print(
+            f"# build+artifacts in {report['build_min']} min, "
+            f"{report['artifact_gb']} GB on disk",
+            flush=True,
+        )
 
     # Serve from the bucketed artifacts, cached (the production stance).
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
@@ -302,17 +343,84 @@ def main() -> None:
     from ploverdb_spark.query.compiler import TrapiEngine
 
     t0 = time.time()
-    kg = read_artifacts_bucketed(spark, prefix="scalebench").persist()
-    engine = TrapiEngine(kg, kp_infores_curie="infores:scalebench")
-    registry = KpRegistry(query_timeout_sec=HARAKIRI_SEC)
+    kg = read_artifacts_bucketed(spark, prefix="scalebench")
+    if not os.environ.get("SCALEBENCH_NO_CACHE"):
+        # default: Spark-cached serving tables; SCALEBENCH_NO_CACHE=1
+        # serves straight from the bucketed parquet (exact per-id bucket
+        # pruning + OS page cache) for comparison
+        kg = kg.persist()
+    # warmup = the reference's startup load_indexes: driver maps +
+    # conglomerate index built BEFORE taking traffic, plus two priming
+    # queries so codegen/broadcast machinery is hot
+    engine = TrapiEngine(kg, kp_infores_curie="infores:scalebench").warmup()
+    # 8 active workers = the reference's UWSGI_CHEAPER resting pool
+    # (README.md:505-511): on a single shared executor, fewer concurrent
+    # queries each finish faster, and the backlog (not the harakiri
+    # window) absorbs the burst.
+    registry = KpRegistry(query_timeout_sec=HARAKIRI_SEC, max_workers=8)
     registry.register("scalebench", engine)
+    from ploverdb_spark.api import handle
+
+    for prime_id in ("SB:11", "SB:42"):
+        handle(
+            registry,
+            "query",
+            {
+                "message": {
+                    "query_graph": {
+                        "nodes": {
+                            "n00": {"ids": [prime_id]},
+                            "n01": {"categories": ["biolink:Disease"]},
+                        },
+                        "edges": {
+                            "e00": {
+                                "subject": "n00",
+                                "object": "n01",
+                                "predicates": ["biolink:treats"],
+                            }
+                        },
+                    }
+                }
+            },
+        )
     report["serve_warm_sec"] = round(time.time() - t0, 1)
-    print(f"# serving tables cached in {report['serve_warm_sec']}s", flush=True)
+    print(f"# serving warm (cache+maps+priming) in {report['serve_warm_sec']}s", flush=True)
+
+    # serial latency baseline (uncontended) before the burst
+    lat = []
+    for i in range(10):
+        t0 = time.time()
+        status, _ = handle(
+            registry,
+            "query",
+            {
+                "message": {
+                    "query_graph": {
+                        "nodes": {
+                            "n00": {"ids": [f"SB:{1000 + i}"]},
+                            "n01": {"categories": ["biolink:Disease"]},
+                        },
+                        "edges": {
+                            "e00": {
+                                "subject": "n00",
+                                "object": "n01",
+                                "predicates": ["biolink:treats"],
+                            }
+                        },
+                    }
+                }
+            },
+        )
+        lat.append(time.time() - t0)
+    report["serial_one_hop_p50_sec"] = round(statistics.median(lat), 3)
+    print(f"# serial one-hop p50: {report['serial_one_hop_p50_sec']}s", flush=True)
 
     report["burst"] = burst(registry)
     report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
     print(json.dumps(report), flush=True)
 
+    if serve_only:  # diagnostic mode: don't overwrite the full report
+        return
     with open("SCALEBENCH.md", "w", encoding="utf-8") as f:
         b = report["burst"]
         f.write(
@@ -329,7 +437,8 @@ This run (local[{report["cpus"]}], single JVM, {os.environ.get("SPARK_GRAFT_DRIV
 | Build + bucketed artifacts | **{report["build_min"]} min** | ~60 min |
 | Peak JVM RSS after build | {report["jvm_peak_rss_gb_after_build"]} GiB | 90 GiB at rest |
 | Artifact footprint | {report["artifact_gb"]} GB | 25 GB (pickled) |
-| Serving warm-up (cache + engine) | {report["serve_warm_sec"]} s | container start |
+| Serving warm-up (cache + maps + priming) | {report["serve_warm_sec"]} s | container start |
+| Serial one-hop p50 (uncontended) | {report["serial_one_hop_p50_sec"]} s | interactive |
 | Burst: requests | {b["n_requests"]} concurrent | 100 concurrent |
 | Burst: 504s | **{b["n_504"]}** | 0 allowed |
 | Burst: HTTP statuses | {b["status_histogram"]} | 200s (+503 backpressure ok) |

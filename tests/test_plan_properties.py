@@ -140,6 +140,39 @@ def test_trapi_lookup_broadcasts_input(spark):
     serving = formatted_plan(answers).split("InMemoryRelation", 1)[0]
     assert "BroadcastHashJoin" in serving, serving
     assert "SortMergeJoin" not in serving, serving
+    # the pinned-id set must ALSO reach the index scan as an isin filter
+    # (bucket pruning on disk / min-max batch pruning in cache) — the
+    # broadcast join alone streams the whole serving table per query,
+    # which at 30M-edge scale turns interactive one-hop into minutes
+    plan = formatted_plan(answers)
+    assert "node_id IN" in plan or "node_id#" in plan and " IN (" in plan, plan
+
+
+def test_trapi_lookup_pushes_pinned_ids_to_scan(spark):
+    """pushdown_id_filter: a doubly-pinned lookup pushes BOTH id sets
+    (node_id + neighbor_id) into the plan as IN filters."""
+    from ploverdb_spark.plans.checks import formatted_plan
+    from ploverdb_spark.queries.graph import graft_engine
+
+    eng = graft_engine(spark, SF_ORACLE)
+    qg = {
+        "nodes": {
+            "n00": {"ids": ["C:1", "C:2"]},
+            "n01": {"ids": ["N:0", "N:1"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    plan = formatted_plan(answers)
+    assert " IN (" in plan or " IN " in plan, plan
+    # both sides pruned: the filters mention each join key
+    assert "node_id" in plan and "neighbor_id" in plan, plan
 
 
 # -- bounded quadratic corners (dedup hot buckets / coarse blocks) ---------

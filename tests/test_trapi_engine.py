@@ -650,6 +650,39 @@ def test_undirected_related_to_sweep(engine):
     assert "e1" in edges_fwd
 
 
+def test_fast_path_matches_distributed_path(engine, monkeypatch):
+    """run_query's small-answer fast path (one bounded collect + local
+    assembly) must produce byte-identical responses to the distributed
+    persist/hydrate/group path it bypasses."""
+    import ploverdb_spark.query.response as R
+
+    qg = one_hop(
+        {"ids": ["CHEM:1", "CHEM:2"]},
+        {"categories": ["biolink:Disease"]},
+        "biolink:treats",
+    )
+    fast = run_query(engine, qg)
+    monkeypatch.setattr(R, "DISTRIBUTED_SERIALIZE_MIN_EDGES", 0)
+    slow = run_query(engine, qg)
+
+    def canon(resp):
+        msg = resp["message"]
+        for r in msg["results"]:
+            for binds in r["node_bindings"].values():
+                binds.sort(key=lambda b: b["id"])
+            for a in r["analyses"]:
+                for eb in a["edge_bindings"].values():
+                    eb.sort(key=lambda e: e["id"])
+        msg["results"].sort(key=repr)
+        for n in msg["knowledge_graph"]["nodes"].values():
+            n["attributes"].sort(key=repr)
+        for e in msg["knowledge_graph"]["edges"].values():
+            e["attributes"].sort(key=repr)
+        return msg
+
+    assert canon(fast) == canon(slow)
+
+
 # -- TRAPI structural invariants (ref plover_tester.py:42-103) -------------
 
 def test_response_structure(engine):
