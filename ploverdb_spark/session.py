@@ -39,6 +39,11 @@ _DEFAULTS = {
     # where the single parallel wave costs ~0.2s).  Serving latency wants
     # one wave over all partitions.
     "spark.sql.limit.initialNumPartitions": "10000",
+    # Keep pinned-id IN-lists in their In form (default converts >10
+    # values to InSet): cached-scan stat pruning evaluates In per value
+    # but ignores InSet entirely — measured 2x+ on scattered-id lookups
+    # at 30M-edge scale (doubly-pinned 1.26s -> 0.56s).
+    "spark.sql.optimizer.inSetConversionThreshold": "1024",
     # Spark 4.1's checksummed checkpoint writer deadlocks its async
     # commit on local-FS stateful-streaming state stores (observed:
     # HDFSBackedStateStore.commit stuck in
