@@ -563,6 +563,16 @@ def _slim_tuple_response(
     }
 
 
+def _collect_dicts(df) -> list[dict]:
+    """Arrow-batched collect to plain dicts, with a row-wise fallback for
+    the rare column type Arrow cannot transport (a custom KG property
+    schema outside the KGX norm must degrade, not 500)."""
+    try:
+        return df.toArrow().to_pylist()
+    except Exception:
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+
 def _edges_from_rows(engine: TrapiEngine, rows, shells) -> dict[str, dict]:
     """Answer row dicts -> TRAPI edge dicts, reconstructing subject/object
     from the traversal direction (same math as hydrate_knowledge_graph's
@@ -647,7 +657,7 @@ def _fetch_nodes(engine: TrapiEngine, node_ids, shells) -> dict[str, dict]:
     # collect is the slow path for them
     return {
         d["id"]: node_to_trapi(d, engine.kp_infores_curie, shells)
-        for d in hydrated.toArrow().to_pylist()
+        for d in _collect_dicts(hydrated)
     }
 
 
@@ -677,7 +687,7 @@ def run_query(engine: TrapiEngine, query: dict) -> dict:
         probe_n = DISTRIBUTED_SERIALIZE_MIN_EDGES
         if engine.answer_cutoff is not None:
             probe_n = min(probe_n, engine.answer_cutoff)
-        rows = matched.limit(probe_n + 1).toArrow().to_pylist()
+        rows = _collect_dicts(matched.limit(probe_n + 1))
         if len(rows) <= probe_n:
             # FAST PATH: every answer row is in hand (and under cutoff)
             shells = attribute_shells_for(engine.kg.config)

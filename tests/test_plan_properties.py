@@ -302,3 +302,23 @@ def test_c1_single_feature_scan(spark):
     assert len(joins) <= 2, plan
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) <= 6, plan
+
+
+def test_pushdown_id_filter_semantics(spark):
+    """pushdown_id_filter: exact filter under the cap (range + IN), no-op
+    above the cap / on empty input (the broadcast join alone remains the
+    semantic shape)."""
+    from pyspark.sql import functions as F
+
+    from ploverdb_spark.query.compiler import (
+        MAX_ISIN_PUSHDOWN,
+        pushdown_id_filter,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    small = pushdown_id_filter(df, "k", ["3", "7", "99"])
+    assert {r.k for r in small.collect()} == {"3", "7", "99"}
+    big = pushdown_id_filter(df, "k", [str(i) for i in range(MAX_ISIN_PUSHDOWN + 1)])
+    assert big.count() == 100
+    assert pushdown_id_filter(df, "k", []).count() == 100
+    assert pushdown_id_filter(df, "k", None).count() == 100
