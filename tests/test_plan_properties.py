@@ -322,3 +322,35 @@ def test_pushdown_id_filter_semantics(spark):
     assert big.count() == 100
     assert pushdown_id_filter(df, "k", []).count() == 100
     assert pushdown_id_filter(df, "k", None).count() == 100
+
+
+def test_run_query_fast_path_action_count(spark):
+    """Serving latency = driver job count under load: a small-answer
+    one-hop must complete in at most 3 Spark jobs (bounded answer collect
+    + node fetch (+ at most one auxiliary) — the 6-action shape mass-504s
+    concurrent bursts at reference scale)."""
+    from ploverdb_spark.queries.graph import graft_engine
+    from ploverdb_spark.query.response import run_query
+
+    eng = graft_engine(spark, SF_ORACLE)
+    eng.warmup()
+    qg = {
+        "nodes": {
+            "n00": {"categories": ["graft:Customer"]},
+            "n01": {"ids": ["N:0"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    run_query(eng, {"message": {"query_graph": qg}})  # prime lazy state
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or ())
+    resp = run_query(eng, {"message": {"query_graph": qg}})
+    after = len(tracker.getJobIdsForGroup(None) or ())
+    assert resp["message"]["results"]
+    assert after - before <= 3, f"fast path ran {after - before} jobs"
