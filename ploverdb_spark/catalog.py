@@ -90,7 +90,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # dropping the LAST-registered entry (j12) — so front-load the entries a
 # tail truncation must not silence: the previously-dropped one and the
 # newest additions.
-_EMIT_FIRST = ("j12_asof_last_order", "s5_ivf_multiprobe")
+_EMIT_FIRST = (
+    "j12_asof_last_order",
+    "s5_ivf_multiprobe",
+    "c2_decontamination",
+)
 
 
 def _ordered() -> list[str]:

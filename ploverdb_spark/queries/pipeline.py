@@ -421,6 +421,55 @@ def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c2_decontamination",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             {_SHINGLES3} AS shingles
+      FROM tk
+    ), bench AS (
+      SELECT DISTINCT md5(g) AS h FROM (
+        SELECT unnest(shingles) AS g FROM sh WHERE doc_id % 97 = 0
+      )
+    ), corpus AS (
+      SELECT DISTINCT doc_id, md5(g) AS h FROM (
+        SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 97 <> 0
+      )
+    )
+    SELECT c.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM corpus c JOIN bench b ON b.h = c.h
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination (the check every LLM training-data "
+    "pipeline runs before a corpus ships): flag corpus documents sharing "
+    "any exact word 3-gram with the held-out benchmark set (docs with "
+    "doc_id %% 97 == 0 stand in for an eval set).  Scale shape: the "
+    "benchmark n-gram hash set is small (eval sets are) and broadcasts; "
+    "the corpus side streams through one explode + semi-ish join + "
+    "per-doc count — no all-pairs comparison anywhere.",
+)
+def c2_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("__toks")
+    )
+    grams = toks.select(
+        "doc_id", F.explode(D.shingles_of(F.col("__toks"), k=3)).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corpus = grams.where(F.col("doc_id") % 97 != 0).dropDuplicates(
+        ["doc_id", "h"]
+    )
+    return (
+        corpus.join(F.broadcast(bench), on="h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 # -- similarity search ------------------------------------------------------
 
 
