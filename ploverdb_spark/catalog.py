@@ -94,6 +94,7 @@ _EMIT_FIRST = (
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",
+    "t5_pii_scan",
 )
 
 

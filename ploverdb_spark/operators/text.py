@@ -151,3 +151,30 @@ def fingerprints(
         F.array_min(shingles).alias("fingerprint"),
         n.alias("n_tokens"),
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-pattern scan (the redaction pre-pass every training corpus
+    runs): per-document match counts for each pattern class plus a
+    has_pii flag.  Pure column expressions over one scan — zero UDFs,
+    zero shuffles; at 100 TB this is embarrassingly parallel map work.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select("doc_id", *counts)
+    total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("has_pii", (total > 0).cast("int"))

@@ -152,6 +152,67 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "t5_pii_scan",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?'))
+             AS n_phone,
+           len(regexp_extract_all(text,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn_like,
+           len(regexp_extract_all(text,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+           CASE WHEN len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text,
+                    '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?'))
+                + len(regexp_extract_all(text,
+                    '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                + len(regexp_extract_all(text,
+                    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0
+                THEN 1 ELSE 0 END AS has_pii
+    FROM corpus
+    """,
+    doc="PII-pattern scan (the redaction pre-pass every training corpus "
+    "runs): per-document email/phone/SSN-like/IPv4 match counts + flag. "
+    "Pure column expressions over one scan (no UDFs, no shuffle); the "
+    "patterns avoid backrefs/lookaround so Java regex and RE2 agree. "
+    "The raw synthetic docs contain no digits, so every 50th doc gets a "
+    "deterministic planted email/IP/SSN-like suffix — same planted-"
+    "evidence convention as the doubled-corpus dedup checks (the scan "
+    "must find exactly those, everywhere else exactly zero).",
+)
+def t5_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    corpus = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 0, planted).otherwise(F.col("text")),
+    )
+    return T.pii_scan(corpus)
+
+
 # -- dedup ------------------------------------------------------------------
 
 
