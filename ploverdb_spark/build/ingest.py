@@ -49,6 +49,16 @@ class KnowledgeGraph:
     id_synonyms: DataFrame  # alias_id, preferred_id
     model: BiolinkLite
     config: KgxConfig
+    # True when the tables are laid out so a pushed id IN-list can
+    # actually SKIP IO — bucketed (SelectedBucketsCount pruning) and/or
+    # sorted+cached (min/max batch-stat pruning).  The query layer then
+    # adds redundant pinned-id scan filters (pushdown_id_filter) on top of
+    # its broadcast joins.  On an ad-hoc unsorted/unbucketed KG the filter
+    # cannot skip anything the join doesn't already do, while carrying
+    # thousands of literals costs real driver/analysis time per query —
+    # so it defaults off and read_artifacts_bucketed (the serving path)
+    # turns it on.
+    pruned_id_scans: bool = False
 
     def persist(self, materialize: bool = True) -> KnowledgeGraph:
         """Cache the hot serving tables (analog of the reference's
@@ -504,6 +514,7 @@ def read_artifacts_bucketed(
         id_synonyms=spark.table(f"{prefix}_id_synonyms"),
         model=model or default_model(),
         config=config or KgxConfig(),
+        pruned_id_scans=True,  # bucketed+sorted: pushed id lists prune
     )
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD, DIR_REVERSE, KnowledgeGraph
 from ploverdb_spark.functions.localdf import tiny_df
+from ploverdb_spark.functions.predicates import in_predicate
 from ploverdb_spark.query.constraints import apply_attribute_constraints
 
 SUPPORTED_QUALIFIERS = {
@@ -97,9 +98,11 @@ def pushdown_id_filter(df: DataFrame, col_name: str, ids) -> DataFrame:
         # InMemoryTableScan as InSet, which its stat-based batch pruning
         # ignores — min/max range predicates always prune, and the serving
         # tables are sorted on these keys so the ranges are tight.
+        # in_predicate (NOT Column.isin) keeps construction O(1) py4j
+        # calls — per-literal isin cost seconds of driver time per lookup.
         return df.where(
             F.col(col_name).between(min(ids), max(ids))
-            & F.col(col_name).isin(ids)
+            & in_predicate(col_name, ids)
         )
     return df
 
@@ -547,9 +550,10 @@ class TrapiEngine:
             input_df = self.expand_with_subclasses(input_key, input_ids)
 
         bidir = self.kg.edges_bidir
-        if input_pairs is not None:
+        if input_pairs is not None and self.kg.pruned_id_scans:
             # scan pruning: see pushdown_id_filter — without it every
-            # lookup full-scans the serving index
+            # lookup full-scans the serving index.  Gated on the KG layout
+            # flag: only bucketed/sorted tables can skip IO for the list.
             bidir = pushdown_id_filter(
                 bidir, "node_id", [n for _, n in input_pairs]
             )
@@ -570,10 +574,12 @@ class TrapiEngine:
                 "node_id", "input_id"
             ).withColumnRenamed("neighbor_id", "output_id")
 
-        pred_filter = F.col(match_col).isin(sorted(bidirectional))
+        # expanded predicate sets can reach hundreds of descendants —
+        # in_predicate keeps construction at one py4j call per set
+        pred_filter = in_predicate(match_col, sorted(bidirectional))
         if directed:
             pred_filter = pred_filter | (
-                F.col(match_col).isin(sorted(directed))
+                in_predicate(match_col, sorted(directed))
                 & (F.col("direction") == required_dir)
             )
 
@@ -598,9 +604,10 @@ class TrapiEngine:
                 output_df = self._tiny_df(
                     out_pairs, "query_id string, node_id string"
                 )
-                matched = pushdown_id_filter(
-                    matched, "neighbor_id", [n for _, n in out_pairs]
-                )
+                if self.kg.pruned_id_scans:
+                    matched = pushdown_id_filter(
+                        matched, "neighbor_id", [n for _, n in out_pairs]
+                    )
             else:
                 output_df = self.expand_with_subclasses(output_key, out_ids)
             matched = matched.join(
@@ -733,9 +740,11 @@ class TrapiEngine:
         pairs = self._expansion_pairs_local(canon)
         if pairs is not None:
             expanded = self._tiny_df(pairs, "query_id string, node_id string")
-            nodes = pushdown_id_filter(
-                self.kg.nodes, "id", [n for _, n in pairs]
-            )
+            nodes = self.kg.nodes
+            if self.kg.pruned_id_scans:
+                nodes = pushdown_id_filter(
+                    nodes, "id", [n for _, n in pairs]
+                )
         else:
             expanded = self.expand_with_subclasses(qnode_key, canon)
             nodes = self.kg.nodes

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ploverdb_spark.build.ingest import DIR_FORWARD
 from ploverdb_spark.functions.localdf import tiny_df
+from ploverdb_spark.functions.predicates import in_predicate
 from ploverdb_spark.query.compiler import (
     MAX_ISIN_PUSHDOWN,
     CompiledQEdge,
@@ -461,10 +462,14 @@ def hydrate_knowledge_graph(
     # For answer sets under the isin cap, collect the (persisted) ids and
     # push them into the nodes scan — the semi-join alone full-scans the
     # node table per query (see pushdown_id_filter).
+    # answer-sized id list: the single-scan IN beats the broadcast
+    # semi-join on JOB COUNT (broadcast materialization is its own job
+    # under AQE), so this path stays unconditional — unlike the
+    # subclass-expanded lookup pushdowns gated on kg.pruned_id_scans
     nid_sample = node_ids.limit(MAX_ISIN_PUSHDOWN + 1).collect()
     if len(nid_sample) <= MAX_ISIN_PUSHDOWN:
         hydrated = engine.kg.nodes.where(
-            F.col("id").isin([r.nid for r in nid_sample])
+            in_predicate("id", [r.nid for r in nid_sample])
         )
     else:
         hydrated = engine.kg.nodes.join(
@@ -646,8 +651,9 @@ def _fetch_nodes(engine: TrapiEngine, node_ids, shells) -> dict[str, dict]:
     ids = sorted(node_ids)
     if not ids:
         return {}
+    # answer-sized list; unconditional for job count (see hydrate note)
     if len(ids) <= MAX_ISIN_PUSHDOWN:
-        hydrated = engine.kg.nodes.where(F.col("id").isin(ids))
+        hydrated = engine.kg.nodes.where(in_predicate("id", ids))
     else:
         nid_df = tiny_df(engine.spark, [(n,) for n in ids], "nid string")
         hydrated = engine.kg.nodes.join(
@@ -793,11 +799,15 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
     )
     canon_ids = sorted({canon.get(i, i) for i in flat_ids})
     e = engine.kg.edges
-    if canon_ids and len(canon_ids) <= MAX_ISIN_PUSHDOWN:
+    if (
+        engine.kg.pruned_id_scans
+        and canon_ids
+        and len(canon_ids) <= MAX_ISIN_PUSHDOWN
+    ):
         # scan pruning (see pushdown_id_filter): both join orientations
         # require subject AND object in the requested id set
         e = e.where(
-            F.col("subject").isin(canon_ids) & F.col("object").isin(canon_ids)
+            in_predicate("subject", canon_ids) & in_predicate("object", canon_ids)
         )
     fwd = e.join(
         F.broadcast(pairs_df),
@@ -871,10 +881,10 @@ def get_neighbors(
     bidirectional = sorted(
         p for p in pred_exp if engine._consider_bidirectional(p, preds)
     )
-    pred_filter = F.col("predicate").isin(bidirectional)
+    pred_filter = in_predicate("predicate", bidirectional)
     if directed:
         pred_filter = pred_filter | (
-            F.col("predicate").isin(directed)
+            in_predicate("predicate", directed)
             & (F.col("direction") == DIR_FORWARD)
         )
 
@@ -884,11 +894,11 @@ def get_neighbors(
         [(canon.get(i, i), i) for i in node_ids],
         "node_id string, orig_id string",
     )
-    bidir = pushdown_id_filter(
-        engine.kg.edges_bidir,
-        "node_id",
-        [canon.get(i, i) for i in node_ids],
-    )
+    bidir = engine.kg.edges_bidir
+    if engine.kg.pruned_id_scans:
+        bidir = pushdown_id_filter(
+            bidir, "node_id", [canon.get(i, i) for i in node_ids]
+        )
     matched = (
         bidir.join(F.broadcast(ids_df), on="node_id")
         .where(pred_filter)

@@ -39,11 +39,6 @@ _DEFAULTS = {
     # where the single parallel wave costs ~0.2s).  Serving latency wants
     # one wave over all partitions.
     "spark.sql.limit.initialNumPartitions": "10000",
-    # Keep pinned-id IN-lists in their In form (default converts >10
-    # values to InSet): cached-scan stat pruning evaluates In per value
-    # but ignores InSet entirely — measured 2x+ on scattered-id lookups
-    # at 30M-edge scale (doubly-pinned 1.26s -> 0.56s).
-    "spark.sql.optimizer.inSetConversionThreshold": "1024",
     # Spark 4.1's checksummed checkpoint writer deadlocks its async
     # commit on local-FS stateful-streaming state stores (observed:
     # HDFSBackedStateStore.commit stuck in
@@ -51,6 +46,33 @@ _DEFAULTS = {
     # are fine for this engine's streaming operators.
     "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
+
+
+# Runtime-settable SQL confs for a SERVING deployment (cached, sorted,
+# bucketed KG tables answering tiny point lookups).  These are serving
+# tunes, NOT analytics defaults — e.g. keeping big id lists in `In` form
+# helps the sorted cached serving tables (stat-based batch pruning
+# evaluates In but ignores InSet; measured 2x+ at 30M-edge scale) but on
+# unsorted analytics data it makes every row pay an O(|ids|) linear scan
+# instead of an InSet hash probe (f4_symmetric_lookup 1.76s vs 0.55s at
+# sf0.1).  Apply via apply_serving_conf() next to the serve-mode AQE
+# toggle; never put these in _DEFAULTS.
+SERVING_SQL_CONF = {
+    # serve from the cache / exact bucket pruning, not AQE-rewritten scans
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    # serving plans are tiny and stable; AQE re-planning is driver overhead
+    "spark.sql.adaptive.enabled": "false",
+    # keep pinned-id IN-lists in In form for cached-scan stat pruning
+    "spark.sql.optimizer.inSetConversionThreshold": "1024",
+}
+
+
+def apply_serving_conf(spark: SparkSession) -> SparkSession:
+    """Switch an existing session into the serving stance (runtime-settable
+    SQL confs only — safe to call after tables are registered/cached)."""
+    for k, v in SERVING_SQL_CONF.items():
+        spark.conf.set(k, v)
+    return spark
 
 
 def get_spark(app_name: str = "ploverdb_spark", extra_conf: dict | None = None) -> SparkSession:

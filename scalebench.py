@@ -336,12 +336,12 @@ def main() -> None:
             flush=True,
         )
 
-    # Serve from the bucketed artifacts, cached (the production stance).
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    # Serving queries are tiny and their plans are stable — AQE's per-job
-    # runtime re-planning is pure driver overhead here (analytics sessions
-    # keep it on; a serving deployment turns it off).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Serve from the bucketed artifacts, cached (the production stance):
+    # bucketed-scan + AQE-off + In-form id lists (see SERVING_SQL_CONF for
+    # why these are serving tunes, not analytics defaults).
+    from ploverdb_spark.session import apply_serving_conf
+
+    apply_serving_conf(spark)
     from ploverdb_spark.api import KpRegistry
     from ploverdb_spark.build.ingest import read_artifacts_bucketed
     from ploverdb_spark.query.compiler import TrapiEngine

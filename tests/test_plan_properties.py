@@ -132,7 +132,14 @@ def test_trapi_lookup_broadcasts_input(spark):
             }
         },
     }
-    _, answers = eng.lookup(qg, persist_answers=False)
+    # serving layout stance: pinned-id scan pruning applies (the cached
+    # engine is shared across tests — restore the flag)
+    old_flag = eng.kg.pruned_id_scans
+    eng.kg.pruned_id_scans = True
+    try:
+        _, answers = eng.lookup(qg, persist_answers=False)
+    finally:
+        eng.kg.pruned_id_scans = old_flag
     # only the plan ABOVE the first cache node executes — the cached
     # build lineage (which legitimately sort-merges) is display-only
     from ploverdb_spark.plans.checks import formatted_plan
@@ -146,6 +153,10 @@ def test_trapi_lookup_broadcasts_input(spark):
     # which at 30M-edge scale turns interactive one-hop into minutes
     plan = formatted_plan(answers)
     assert "node_id IN" in plan or "node_id#" in plan and " IN (" in plan, plan
+    # the analytics stance (unsorted/unbucketed ad-hoc KG) must NOT carry
+    # the literal list — it cannot prune IO there and only bloats analysis
+    _, analytic = eng.lookup(qg, persist_answers=False)
+    assert " IN (" not in formatted_plan(analytic).split("InMemoryRelation", 1)[0]
 
 
 def test_trapi_lookup_pushes_pinned_ids_to_scan(spark):
@@ -168,7 +179,12 @@ def test_trapi_lookup_pushes_pinned_ids_to_scan(spark):
             }
         },
     }
-    _, answers = eng.lookup(qg, persist_answers=False)
+    old_flag = eng.kg.pruned_id_scans
+    eng.kg.pruned_id_scans = True
+    try:
+        _, answers = eng.lookup(qg, persist_answers=False)
+    finally:
+        eng.kg.pruned_id_scans = old_flag
     plan = formatted_plan(answers)
     assert " IN (" in plan or " IN " in plan, plan
     # both sides pruned: the filters mention each join key
