@@ -85,12 +85,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Emitted first in queries()/oracle_sql() iteration order.  The round-2
-# driver run emitted exactly 50 correctness rows for a 51-entry catalog,
-# dropping the LAST-registered entry (j12) — so front-load the entries a
-# tail truncation must not silence: the previously-dropped one and the
-# newest additions.
+# Emitted first in queries()/oracle_sql() iteration order.  The driver
+# emits at most 50 correctness rows while the catalog is larger, silently
+# dropping the tail — so front-load the entries that most need a fresh
+# row.  Round 4 rotation: the four entries past the r03 cap
+# (a3_meta_nodes, w1/w2/w3 — last proven green in r02) come first so they
+# re-prove, followed by this round's newest additions.  NOTE to driver
+# maintainers: the emitter should assert emitted-row count ==
+# len(all_oracles()) instead of relying on this ordering.
 _EMIT_FIRST = (
+    "a3_meta_nodes",
+    "w1_sessionize",
+    "w2_rollup_orders",
+    "w3_value_deltas",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

@@ -325,6 +325,11 @@ def connected_components(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).persist()
     for i in range(max_iter):
+        # The self-loop row (src == dst) carries each node's OWN previous
+        # label; aggregating it separately rides the same shuffle+agg and
+        # gives the convergence probe for free (new != old as a column),
+        # replacing the old per-round anti-join probe job with a trivial
+        # filter over the already-checkpointed round result.
         prop = (
             und_self.join(
                 labels.select(
@@ -333,7 +338,12 @@ def connected_components(
                 on="dst",
             )
             .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nlabel").alias("label"))
+            .agg(
+                F.min("nlabel").alias("label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("nlabel"))
+                ).alias("old_label"),
+            )
         )
         # Pointer jump: follow the label one hop (labels always point to a
         # smaller node in the same component, so label(label) is valid and
@@ -356,13 +366,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
+                "old_label",
             )
             .localCheckpoint(eager=True)
         )
         # Round 0 converges only on an edgeless graph — skip its probe.
         converged = i > 0 and (
-            new_labels.join(labels, on=["node", "label"], how="left_anti")
-            .isEmpty()
+            new_labels.where(F.col("label") != F.col("old_label")).isEmpty()
         )
         labels = new_labels
         if converged:

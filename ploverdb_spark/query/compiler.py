@@ -543,17 +543,29 @@ class TrapiEngine:
         )
         input_pairs = self._expansion_pairs_local(input_ids)
         if input_pairs is not None:
-            input_df = self._tiny_df(
-                input_pairs, "query_id string, node_id string"
+            # the single-pair case never materializes a tiny DF (see below)
+            input_df = (
+                None
+                if len(input_pairs) == 1
+                else self._tiny_df(
+                    input_pairs, "query_id string, node_id string"
+                )
             )
         else:
             input_df = self.expand_with_subclasses(input_key, input_ids)
 
         bidir = self.kg.edges_bidir
-        if input_pairs is not None and self.kg.pruned_id_scans:
+        single_input = input_pairs is not None and len(input_pairs) == 1
+        if (
+            input_pairs is not None
+            and not single_input
+            and self.kg.pruned_id_scans
+        ):
             # scan pruning: see pushdown_id_filter — without it every
             # lookup full-scans the serving index.  Gated on the KG layout
             # flag: only bucketed/sorted tables can skip IO for the list.
+            # (The single-id case below uses a plain equality filter
+            # instead — strictly better pruning, no literal list.)
             bidir = pushdown_id_filter(
                 bidir, "node_id", [n for _, n in input_pairs]
             )
@@ -583,15 +595,28 @@ class TrapiEngine:
                 & (F.col("direction") == required_dir)
             )
 
-        matched = bidir.join(
-            F.broadcast(
-                input_df.select(
-                    F.col("node_id"),
-                    F.col("query_id").alias("input_query_id"),
-                )
-            ),
-            on="node_id",
-        ).where(pred_filter)
+        if single_input:
+            # Dominant serving shape (one pinned id, no subclass
+            # descendants): the join contributes nothing but the
+            # input_query_id constant — compile to a single equality-
+            # pruned scan instead (no tiny-DF build, no broadcast
+            # exchange, one fewer driver-side py4j burst per query).
+            qid, nid = input_pairs[0]
+            matched = (
+                bidir.where(F.col("node_id") == F.lit(nid))
+                .withColumn("input_query_id", F.lit(qid))
+                .where(pred_filter)
+            )
+        else:
+            matched = bidir.join(
+                F.broadcast(
+                    input_df.select(
+                        F.col("node_id"),
+                        F.col("query_id").alias("input_query_id"),
+                    )
+                ),
+                on="node_id",
+            ).where(pred_filter)
 
         if compiled.output_ids:
             out_ids = list(
@@ -600,25 +625,34 @@ class TrapiEngine:
                 )
             )
             out_pairs = self._expansion_pairs_local(out_ids)
-            if out_pairs is not None:
-                output_df = self._tiny_df(
-                    out_pairs, "query_id string, node_id string"
-                )
-                if self.kg.pruned_id_scans:
-                    matched = pushdown_id_filter(
-                        matched, "neighbor_id", [n for _, n in out_pairs]
-                    )
+            if out_pairs is not None and len(out_pairs) == 1:
+                # mirror of the single-input fast shape
+                oqid, onid = out_pairs[0]
+                matched = matched.where(
+                    F.col("neighbor_id") == F.lit(onid)
+                ).withColumn("output_query_id", F.lit(oqid))
             else:
-                output_df = self.expand_with_subclasses(output_key, out_ids)
-            matched = matched.join(
-                F.broadcast(
-                    output_df.select(
-                        F.col("node_id").alias("neighbor_id"),
-                        F.col("query_id").alias("output_query_id"),
+                if out_pairs is not None:
+                    output_df = self._tiny_df(
+                        out_pairs, "query_id string, node_id string"
                     )
-                ),
-                on="neighbor_id",
-            )
+                    if self.kg.pruned_id_scans:
+                        matched = pushdown_id_filter(
+                            matched, "neighbor_id", [n for _, n in out_pairs]
+                        )
+                else:
+                    output_df = self.expand_with_subclasses(
+                        output_key, out_ids
+                    )
+                matched = matched.join(
+                    F.broadcast(
+                        output_df.select(
+                            F.col("node_id").alias("neighbor_id"),
+                            F.col("query_id").alias("output_query_id"),
+                        )
+                    ),
+                    on="neighbor_id",
+                )
         else:
             # F1: category filter only when output is unpinned
             matched = matched.where(
@@ -738,6 +772,13 @@ class TrapiEngine:
             )
         canon = list(dict.fromkeys(self.canonicalize_ids(ids).values()))
         pairs = self._expansion_pairs_local(canon)
+        if pairs is not None and len(pairs) == 1:
+            # single pinned id, no descendants: one equality-pruned scan
+            qid, nid = pairs[0]
+            found = self.kg.nodes.where(F.col("id") == F.lit(nid)).select(
+                F.lit(qid).alias("query_id"), F.col("id").alias("node_id")
+            )
+            return qnode_key, found
         if pairs is not None:
             expanded = self._tiny_df(pairs, "query_id string, node_id string")
             nodes = self.kg.nodes

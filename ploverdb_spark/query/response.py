@@ -325,8 +325,14 @@ def assemble_results(
                 "analyses": [
                     {
                         "edge_bindings": {
+                            # str(e): knowledge_graph edge keys are
+                            # stringified everywhere (edge_to_trapi,
+                            # _edges_from_rows) — a numeric edge-id column
+                            # must bind by the same string key in BOTH the
+                            # distributed and driver-side assembly paths
                             compiled.qedge_key: [
-                                {"id": e, "attributes": []} for e in g.edge_ids
+                                {"id": str(e), "attributes": []}
+                                for e in g.edge_ids
                             ]
                         },
                         "resource_id": kp_infores_curie,

@@ -74,18 +74,26 @@ def _atomic_swap_in(spark: SparkSession, tmp_path: str, final_path: str) -> None
 
 def _read_swappable(spark: SparkSession, final_path: str) -> DataFrame | None:
     """Read an artifact maintained by :func:`_atomic_swap_in`, recovering
-    from a crash mid-swap: if the final dir is missing, a complete
-    ``.tmp`` (written before any rename) or ``.old`` (the pre-swap
-    version) is promoted back."""
+    from a crash mid-swap: if the final dir is missing, a COMPLETE
+    ``.tmp`` (written before any rename; complete iff the writer's
+    ``_SUCCESS`` marker exists — a truncated first write must never be
+    promoted and served as the full artifact) or ``.old`` (the pre-swap
+    version) is promoted back.  An incomplete ``.tmp`` is deleted so the
+    next write starts clean."""
     fs, final, jvm = _hadoop_fs(spark, final_path)
     if not fs.exists(final):
-        for suffix in (".tmp", ".old"):
-            cand = jvm.org.apache.hadoop.fs.Path(final_path + suffix)
-            if fs.exists(cand):
-                fs.rename(cand, final)
-                break
-        else:
-            return None
+        tmp = jvm.org.apache.hadoop.fs.Path(final_path + ".tmp")
+        if fs.exists(tmp):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(final_path + ".tmp/_SUCCESS")):
+                fs.rename(tmp, final)
+            else:
+                fs.delete(tmp, True)
+        if not fs.exists(final):
+            old = jvm.org.apache.hadoop.fs.Path(final_path + ".old")
+            if fs.exists(old):
+                fs.rename(old, final)
+            else:
+                return None
     return spark.read.parquet(final_path)
 
 
@@ -123,8 +131,18 @@ def stream_edge_deltas(
 
     Each micro-batch runs the batch build transforms (canonical flip,
     bidirectional expansion) and appends rows not already present (by edge
-    id).  ``foreachBatch`` gives exactly-once appends with the parquet
-    sink + checkpoint.
+    id).
+
+    Replay safety: ``foreachBatch`` is AT-LEAST-ONCE — a batch can be
+    re-delivered after a crash anywhere between its two writes (artifact
+    rows, then sidecar ids).  The appends are made content-idempotent by
+    deduping the artifact append against BOTH the seen-id sidecar AND the
+    artifact slice itself: the artifact is laid out partitioned by
+    ``id_bucket``, so the self-check reads only the batch's bucket
+    partitions (id column only) — a replayed batch whose rows landed but
+    whose sidecar append was lost finds its ids already in the artifact
+    and appends nothing.  Re-appending ids to the sidecar is harmless
+    (existence semantics).
 
     Scale design: dedup against already-served ids goes through a compact
     ids-only sidecar (``edge_ids_seen.parquet``) hash-partitioned into
@@ -132,7 +150,11 @@ def stream_edge_deltas(
     partitions its own ids hash into, so per-batch work is proportional
     to the batch, never to the accumulated artifact (the old design
     re-scanned + re-shuffled the entire ``edges_bidir`` artifact every
-    batch, a non-starter at 30M+ edges).
+    batch, a non-starter at 30M+ edges).  The idempotency self-check
+    follows the same bucket pruning.  Deployments whose artifact predates
+    the bucketed layout keep the flat layout (mixing would break
+    partition discovery) and pay a full id-column scan for the
+    self-check instead.
 
     Batches carrying subclass edges also fold them into the
     subclass-closure artifacts via :func:`extend_closure`:
@@ -156,12 +178,24 @@ def stream_edge_deltas(
     closure_full_path = f"{out_dir}/subclass_closure_full.parquet"
     closure_served_path = f"{out_dir}/subclass_closure.parquet"
 
+    def _artifact_bucketed(session: SparkSession) -> bool:
+        """Fresh deployments use the id_bucket-partitioned layout; an
+        existing flat artifact keeps its layout (mixing loose files with
+        partition dirs breaks Spark's partition discovery)."""
+        fs, hpath, _ = _hadoop_fs(session, artifact)
+        if not fs.exists(hpath):
+            return True
+        for st in fs.listStatus(hpath):
+            if st.getPath().getName().startswith("id_bucket="):
+                return True
+        return False
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         session = batch_df.sparkSession
         edges = flip_noncanonical_edges(batch_df, model)
-        bidir = build_edges_bidir(edges, nodes).persist()
+        bidir = _with_bucket(build_edges_bidir(edges, nodes)).persist()
         try:
             if not _path_exists(session, sidecar) and _path_exists(
                 session, artifact
@@ -173,18 +207,38 @@ def stream_edge_deltas(
                 ).write.partitionBy("id_bucket").mode("overwrite").parquet(
                     sidecar
                 )
-            batch_ids = _with_bucket(bidir.select("id").distinct()).persist()
+            batch_ids = bidir.select("id", "id_bucket").distinct().persist()
+            bucketed = _artifact_bucketed(session)
+            new_rows, new_ids = bidir, batch_ids
+            buckets = [
+                r.id_bucket
+                for r in batch_ids.select("id_bucket").distinct().collect()
+            ]
             if _path_exists(session, sidecar):
-                buckets = [
-                    r.id_bucket
-                    for r in batch_ids.select("id_bucket").distinct().collect()
-                ]
                 seen = seen_ids_reader(session, sidecar, buckets)
-                new_rows = bidir.join(seen, on="id", how="left_anti")
-                new_ids = batch_ids.join(seen, on="id", how="left_anti")
+                new_rows = new_rows.join(seen, on="id", how="left_anti")
+                new_ids = new_ids.join(seen, on="id", how="left_anti")
+            if _path_exists(session, artifact):
+                # Replay idempotency: a retried epoch whose rows landed but
+                # whose sidecar append was lost must not re-append.  Check
+                # the artifact itself, pruned to the batch's buckets (flat
+                # legacy layout: full id-column scan).
+                prior = session.read.parquet(artifact)
+                if bucketed:
+                    prior = prior.where(
+                        F.col("id_bucket").isin([int(b) for b in buckets])
+                    )
+                new_rows = new_rows.join(
+                    prior.select("id").distinct(), on="id", how="left_anti"
+                )
+            if bucketed:
+                new_rows.write.partitionBy("id_bucket").mode("append").parquet(
+                    artifact
+                )
             else:
-                new_rows, new_ids = bidir, batch_ids
-            new_rows.write.mode("append").parquet(artifact)
+                new_rows.drop("id_bucket").write.mode("append").parquet(
+                    artifact
+                )
             new_ids.write.partitionBy("id_bucket").mode("append").parquet(
                 sidecar
             )

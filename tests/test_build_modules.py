@@ -561,6 +561,101 @@ def test_swappable_artifact_recovers_from_partial_swap(spark, tmp_path):
     assert _read_swappable(spark, str(tmp_path / "missing.parquet")) is None
 
 
+def test_swappable_ignores_truncated_tmp(spark, tmp_path):
+    """A tmp dir without _SUCCESS (crash mid-first-write) must NOT be
+    promoted — a truncated parquet dir served as the full closure is
+    silently incomplete reasoning state (ADVICE r3)."""
+    import os
+    import shutil
+
+    from ploverdb_spark.streaming.incremental import _read_swappable
+
+    final = str(tmp_path / "clo.parquet")
+    # truncated first write: parquet part files but no _SUCCESS marker
+    spark.createDataFrame([("x", 9)], "k string, v int").write.parquet(
+        final + ".tmp"
+    )
+    os.remove(final + ".tmp/_SUCCESS")
+    assert _read_swappable(spark, final) is None  # not promoted
+    assert not os.path.exists(final + ".tmp")  # partial dir cleaned up
+    # with an .old alongside a truncated tmp, the pre-swap copy wins
+    spark.createDataFrame([("ok", 1)], "k string, v int").write.parquet(
+        final + ".old"
+    )
+    spark.createDataFrame([("x", 9)], "k string, v int").write.parquet(
+        final + ".tmp"
+    )
+    os.remove(final + ".tmp/_SUCCESS")
+    got = _read_swappable(spark, final)
+    assert [(r.k, r.v) for r in got.collect()] == [("ok", 1)]
+    shutil.rmtree(str(tmp_path / "clo.parquet"), ignore_errors=True)
+
+
+@pytest.mark.shard2
+def test_stream_replay_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch whose artifact rows
+    landed but whose sidecar append was lost (crash between the two
+    writes) must not re-append rows (ADVICE r3 medium)."""
+    import shutil
+
+    from ploverdb_spark.streaming.incremental import (
+        _with_bucket,
+        stream_edge_deltas,
+    )
+
+    nodes = spark.createDataFrame(
+        [("A:1", ["biolink:Gene"]), ("A:2", ["biolink:Disease"])],
+        "id string, categories array<string>",
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = tmp_path / "out"
+    schema = spark.createDataFrame(
+        [], "id string, subject string, object string, predicate string"
+    ).schema
+    edge = {
+        "id": "e1",
+        "subject": "A:1",
+        "object": "A:2",
+        "predicate": "biolink:treats",
+    }
+    (drop / "b1.jsonl").write_text(json.dumps(edge) + "\n")
+    q = stream_edge_deltas(
+        spark, str(drop), schema, str(out), nodes,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    artifact = f"{out}/edges_bidir.parquet"
+    assert spark.read.parquet(artifact).count() == 2
+
+    # simulate the crash: e1's rows are in the artifact but its sidecar
+    # append was lost (sidecar exists — only the batch's ids are missing)
+    shutil.rmtree(f"{out}/edge_ids_seen.parquet")
+    _with_bucket(
+        spark.createDataFrame([("stub:0",)], "id string")
+    ).write.partitionBy("id_bucket").parquet(f"{out}/edge_ids_seen.parquet")
+
+    # replay surrogate: the same edge arrives again (fresh checkpoint =
+    # redelivery of the uncommitted epoch)
+    (drop / "b2.jsonl").write_text(json.dumps(edge) + "\n")
+    q2 = stream_edge_deltas(
+        spark, str(drop), schema, str(out), nodes,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = spark.read.parquet(artifact)
+    assert after.where(F.col("id") == "e1").count() == 2  # still one edge
+    # and the sidecar now records the replayed id
+    seen = spark.read.parquet(f"{out}/edge_ids_seen.parquet")
+    assert "e1" in {r.id for r in seen.collect()}
+
+
 def test_fold_session_out_of_order():
     """An out-of-order event folding into the open session must not move
     the session end backwards (ADVICE r2): otherwise the next in-order

@@ -340,6 +340,47 @@ def test_pushdown_id_filter_semantics(spark):
     assert pushdown_id_filter(df, "k", None).count() == 100
 
 
+def test_single_id_lookup_is_joinless_scan(spark):
+    """The dominant serving shape (one pinned id, no subclass
+    descendants) must compile to a single equality-pruned scan — no
+    tiny-DF build, no broadcast join (VERDICT r3 #5)."""
+    from ploverdb_spark.plans.checks import formatted_plan
+    from ploverdb_spark.queries.graph import graft_engine
+
+    eng = graft_engine(spark, SF_ORACLE)
+    # C:7 is a leaf (no subclass descendants); categories-only output side
+    qg = {
+        "nodes": {
+            "n00": {"ids": ["C:7"]},
+            "n01": {"categories": ["graft:Nation"]},
+        },
+        "edges": {
+            "e00": {
+                "subject": "n00",
+                "object": "n01",
+                "predicates": ["graft:located_in"],
+            }
+        },
+    }
+    _, answers = eng.lookup(qg, persist_answers=False)
+    full = formatted_plan(answers)
+    serving = full.split("InMemoryRelation", 1)[0]
+    assert "Join" not in serving, serving
+    assert "node_id" in full and "C:7" in full, full
+    rows = answers.collect()
+    assert rows and all(r.input_id == "C:7" for r in rows)
+
+    # edgeless single-id query takes the same joinless shape
+    qk, found = eng.single_node_lookup(
+        {"nodes": {"n00": {"ids": ["C:7"]}}}
+    )
+    plan_sn = formatted_plan(found).split("InMemoryRelation", 1)[0]
+    assert "Join" not in plan_sn, plan_sn
+    assert [(r.query_id, r.node_id) for r in found.collect()] == [
+        ("C:7", "C:7")
+    ]
+
+
 def test_run_query_fast_path_action_count(spark):
     """Serving latency = driver job count under load: a small-answer
     one-hop must complete in at most 3 Spark jobs (bounded answer collect
