@@ -229,20 +229,23 @@ def compile_constraint(
     return F.greatest(*parts) if len(parts) > 1 else parts[0]
 
 
-def compile_nested_single(
-    df: DataFrame, col_name: str, field_names: dict[str, str], constraint: dict
-) -> Column:
+def compile_nested_element(field_names: dict[str, str], constraint: dict):
+    """Per-ELEMENT predicate for one constraint against one zipped
+    attribute instance: returns ``x -> Column`` usable inside a
+    higher-order ``exists`` lambda.  ``None`` means the constraint is
+    ignored entirely (unsupported operator — parity with the top-level
+    warn-and-ignore)."""
     cid, op = constraint["id"], constraint["operator"]
     is_not = bool(constraint.get("not"))
     value = constraint["value"]
     if op not in _OPS:
-        return F.lit(True)
+        return None
     if cid not in field_names:
-        return F.lit(False)  # absent sub-attribute never fulfills
+        return lambda x: F.lit(False)  # absent sub-attribute never fulfills
 
     kind, adapted = _adapt_value(value, field_names[cid], op)
     if kind == _FAIL:
-        return F.lit(False)
+        return lambda x: F.lit(False)
 
     def sub_meets(x: Column) -> Column:
         if kind == _EQ_FALSE:
@@ -252,7 +255,19 @@ def compile_nested_single(
         per_attr = (~cmp) if is_not else cmp
         return x[cid].isNotNull() & per_attr
 
-    return F.coalesce(F.exists(F.col(col_name), sub_meets), F.lit(False))
+    return sub_meets
+
+def compile_nested_single(
+    df: DataFrame, col_name: str, field_names: dict[str, str], constraint: dict
+) -> Column:
+    """Does SOME element of the zipped column satisfy the constraint via
+    its subattributes?  (Kept for single-constraint callers; the
+    multi-constraint path uses :func:`compile_nested_element` so the
+    same-attribute-instance rule holds across constraints.)"""
+    elem = compile_nested_element(field_names, constraint)
+    if elem is None:
+        return F.lit(True)
+    return F.coalesce(F.exists(F.col(col_name), elem), F.lit(False))
 
 
 def _struct_fields(df: DataFrame, col_name: str) -> dict[str, str]:
@@ -287,21 +302,41 @@ def apply_attribute_constraints(
         all_top = all_top & c
 
     if zipped_cols:
-        # per-constraint: top-level OR nested-within-same-column; the
-        # "same attribute" rule means the nested fallback must hold for
-        # all unfulfilled constraints within one column. Compiled as:
-        # for some zipped column Z: AND_i (top_i OR nested_i(Z)).
+        # Reference plover.py:2444-2454: constraints not met by top-level
+        # attributes must ALL be met by subattributes of the SAME
+        # attribute instance.  Compiled as: for some zipped column Z,
+        # EXISTS one element x of Z with AND_i (top_i OR nested_i(x)) —
+        # the exists wraps the conjunction, so one instance must carry
+        # every unfulfilled constraint (different elements fulfilling
+        # different constraints is NOT enough).
+        def make_one_instance(elems):
+            # single-parameter closure: pyspark's _create_lambda maps EVERY
+            # parameter (defaults included) to a lambda variable, so the
+            # element predicates must be captured, not defaulted
+            def one_instance(x: Column) -> Column:
+                conds = [
+                    top_level[i]
+                    | (F.lit(True) if elems[i] is None else elems[i](x))
+                    for i in range(len(constraints))
+                ]
+                acc = conds[0]
+                for c in conds[1:]:
+                    acc = acc & c
+                return acc
+
+            return one_instance
+
         per_col = []
         for z in zipped_cols:
             fields = _struct_fields(df, z)
-            conds = [
-                top_level[i] | compile_nested_single(df, z, fields, constraints[i])
-                for i in range(len(constraints))
+            elems = [
+                compile_nested_element(fields, c) for c in constraints
             ]
-            acc = conds[0]
-            for c in conds[1:]:
-                acc = acc & c
-            per_col.append(acc)
+            per_col.append(
+                F.coalesce(
+                    F.exists(F.col(z), make_one_instance(elems)), F.lit(False)
+                )
+            )
         combined = all_top
         for pc in per_col:
             combined = combined | pc

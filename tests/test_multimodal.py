@@ -1,0 +1,160 @@
+"""Real PNG/BMP decoding behind the media seam (VERDICT r3 #7): the
+fixtures below are genuine container bytes built with struct/zlib, so the
+decoders are verified against real pixels, filter reconstruction and all.
+Non-image payloads must keep the deterministic hash stub (the m1/m2
+oracles depend on it)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from ploverdb_spark.operators.multimodal import (
+    _fake_decode,
+    decode_bmp,
+    decode_media,
+    decode_png,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width, height, pixels, color_type=2, filters=None) -> bytes:
+    """Encode genuine PNG bytes (8-bit, non-interlaced) applying the given
+    per-row filter types — the encoder side of the decoder's unfilter
+    math, so a round trip proves each filter's reconstruction."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (line[i] - left) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - up) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - (left + up) // 2) & 0xFF
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(width, height, bgr_rows_topdown, bpp=24) -> bytes:
+    """Encode genuine bottom-up 24/32-bpp BMP bytes with row padding."""
+    channels = bpp // 8
+    row_bytes = width * channels
+    row_padded = (row_bytes + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bgr_rows_topdown[y * row_bytes : (y + 1) * row_bytes]
+        body += row + b"\x00" * (row_padded - row_bytes)
+    pixel_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(body), 0, 0, 0, 0
+        )
+    )
+    return bytes(header) + bytes(body)
+
+
+PIXELS_3x2_RGB = bytes(
+    [10, 20, 30, 40, 50, 60, 70, 80, 90, 15, 25, 35, 45, 55, 65, 75, 85, 95]
+)
+
+
+@pytest.mark.parametrize("filters", [[0, 0], [1, 1], [2, 2], [3, 3], [4, 4], [0, 4]])
+def test_decode_png_roundtrip_all_filters(filters):
+    png = make_png(3, 2, PIXELS_3x2_RGB, color_type=2, filters=filters)
+    w, h, samples, ch = decode_png(png)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(samples) == PIXELS_3x2_RGB
+
+
+def test_decode_png_grayscale_and_rgba():
+    gray = bytes(range(12))
+    w, h, s, ch = decode_png(make_png(4, 3, gray, color_type=0))
+    assert (w, h, ch) == (4, 3, 1) and bytes(s) == gray
+    rgba = bytes(range(2 * 2 * 4))
+    w, h, s, ch = decode_png(make_png(2, 2, rgba, color_type=6, filters=[1, 4]))
+    assert (w, h, ch) == (2, 2, 4) and bytes(s) == rgba
+
+
+def test_decode_bmp_roundtrip():
+    bgr = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18])
+    bmp = make_bmp(3, 2, bgr)
+    w, h, samples, ch = decode_bmp(bmp)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(samples) == bgr  # rows back in top-down order
+
+
+def test_decode_media_routes_by_magic():
+    png = make_png(3, 2, PIXELS_3x2_RGB)
+    feats = decode_media(png, "image")
+    assert (feats["width"], feats["height"]) == (3, 2)  # REAL dims
+    assert feats["n_frames"] == 1 and feats["duration_ms"] == 0
+    assert feats["n_bytes"] == len(png)
+    # non-image payloads keep the deterministic hash stub (oracle parity)
+    text = "some document text".encode()
+    assert decode_media(text, "image") == _fake_decode(text, "image")
+    # corrupt PNG (magic intact, body truncated) degrades to the stub
+    corrupt = png[:20]
+    assert decode_media(corrupt, "image") == _fake_decode(corrupt, "image")
+    # interlaced PNGs are out of scope -> stub, not a crash
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    )
+    assert decode_media(interlaced, "image") == _fake_decode(interlaced, "image")
+
+
+def test_extract_media_features_real_dims_through_spark(spark):
+    """The mapInPandas pipeline reports decoded dimensions for genuine
+    image payloads, hash-stub dimensions for opaque ones — in one batch."""
+    from ploverdb_spark.operators.multimodal import extract_media_features
+
+    png = make_png(5, 4, bytes(range(5 * 4 * 3)))
+    bmp = make_bmp(6, 2, bytes(range(36)))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image", ("t", "png")),
+            (2, bytearray(bmp), "image", ("t", "bmp")),
+            (3, bytearray(b"plain text payload"), "image", ("t", "txt")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<source:string, declared_format:string>",
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert (rows[1].width, rows[1].height) == (5, 4)
+    assert (rows[2].width, rows[2].height) == (6, 2)
+    stub = _fake_decode(b"plain text payload", "image")
+    assert (rows[3].width, rows[3].height) == (stub["width"], stub["height"])

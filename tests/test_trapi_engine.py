@@ -34,21 +34,23 @@ NODES = [
 EDGES = [
     # id, subject, object, predicate, qualified_predicate,
     # object_direction_qualifier, object_aspect_qualifier,
-    # primary_knowledge_source, knowledge_level, agent_type, publications
-    ("e_sub1", "DIS:child", "DIS:parent", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
-    ("e_sub2", "DIS:grandchild", "DIS:child", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
-    ("e1", "CHEM:1", "DIS:parent", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", ["PMID:1", "PMID:2"]),
-    ("e2", "CHEM:1", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", ["PMID:3"]),
-    ("e3", "GENE:1", "GENE:2", "biolink:interacts_with", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    # primary_knowledge_source, knowledge_level, agent_type, publications,
+    # supporting_studies (zipped attribute; phase stored numerically per
+    # the P5 trial-phase enum, like the real zip operator writes it)
+    ("e_sub1", "DIS:child", "DIS:parent", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", [], None),
+    ("e_sub2", "DIS:grandchild", "DIS:child", "biolink:subclass_of", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", [], None),
+    ("e1", "CHEM:1", "DIS:parent", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", ["PMID:1", "PMID:2"], [("NCT1", 2.0)]),
+    ("e2", "CHEM:1", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", ["PMID:3"], [("NCT9", 1.0), ("NCT8", 2.0)]),
+    ("e3", "GENE:1", "GENE:2", "biolink:interacts_with", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", [], None),
     # stored non-canonical: must flip to CHEM:2 treats DIS:child at build
-    ("e4", "DIS:child", "CHEM:2", "biolink:treated_by", None, None, None, "infores:src2", "knowledge_assertion", "manual_agent", []),
-    ("e5", "CHEM:1", "GENE:1", "biolink:affects", "biolink:causes", "increased", "activity", "infores:src1", "knowledge_assertion", "manual_agent", []),
-    ("e6", "CHEM:2", "GENE:1", "biolink:affects", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    ("e4", "DIS:child", "CHEM:2", "biolink:treated_by", None, None, None, "infores:src2", "knowledge_assertion", "manual_agent", [], None),
+    ("e5", "CHEM:1", "GENE:1", "biolink:affects", "biolink:causes", "increased", "activity", "infores:src1", "knowledge_assertion", "manual_agent", [], None),
+    ("e6", "CHEM:2", "GENE:1", "biolink:affects", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", [], None),
     # fan edges for the reference's is_set cardinality ordering
     # (test_kg2c.py:636-681): 4 chem--disease pairs over 3 distinct
     # diseases and 2 distinct chems
-    ("e7", "CHEM:2", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", []),
-    ("e8", "CHEM:1", "MIXED:1", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", []),
+    ("e7", "CHEM:2", "DIS:grandchild", "biolink:treats", None, None, None, "infores:src2", "prediction", "automated_agent", [], None),
+    ("e8", "CHEM:1", "MIXED:1", "biolink:treats", None, None, None, "infores:src1", "knowledge_assertion", "manual_agent", [], None),
 ]
 
 
@@ -64,7 +66,8 @@ def engine(spark):
         "id string, subject string, object string, predicate string, "
         "qualified_predicate string, object_direction_qualifier string, "
         "object_aspect_qualifier string, primary_knowledge_source string, "
-        "knowledge_level string, agent_type string, publications array<string>",
+        "knowledge_level string, agent_type string, publications array<string>, "
+        "supporting_studies array<struct<nctid:string,phase:float>>",
     )
     kg = build_knowledge_graph(nodes, edges, KgxConfig()).persist()
     return TrapiEngine(kg, kp_infores_curie="infores:test-kp")
@@ -496,6 +499,94 @@ def test_knowledge_source_pseudo_attribute(engine):
     assert edges == {"e2"}
 
 
+def test_nested_constraint_same_instance_positive(engine):
+    """plover.py:2444-2454: constraints unfulfilled top-level are met by
+    subattributes of ONE zipped attribute instance -> edge kept."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[
+                {"id": "nctid", "operator": "==", "value": "NCT1"},
+                {"id": "phase", "operator": "==", "value": "phase_2"},
+            ],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1"}  # e1's single study carries both subattributes
+
+
+def test_nested_constraint_split_across_instances_negative(engine):
+    """The reference's same-attribute rule: e2 has one study with
+    nctid=NCT9 (phase_1) and another with phase_2 (NCT8) — each
+    constraint is met by SOME study, but no single study meets both, so
+    the edge must be dropped."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[
+                {"id": "nctid", "operator": "==", "value": "NCT9"},
+                {"id": "phase", "operator": "==", "value": "phase_2"},
+            ],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == set()
+
+
+def test_nested_constraint_mixed_top_level_and_nested(engine):
+    """A constraint met top-level doesn't burden the nested instance:
+    knowledge_level is a plain column (met by e1), nctid is nested —
+    together they keep e1 only."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[
+                {
+                    "id": "knowledge_level",
+                    "operator": "==",
+                    "value": "knowledge_assertion",
+                },
+                {"id": "nctid", "operator": "==", "value": "NCT1"},
+            ],
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1"}
+    # and an absent nested value fulfills nothing: e8 has no studies
+    resp2 = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease"]},
+            "biolink:treats",
+            attribute_constraints=[
+                {"id": "nctid", "operator": "==", "value": "NCT-missing"}
+            ],
+        ),
+    )
+    _, edges2 = answer_sets(resp2)
+    assert edges2 == set()
+
+
+def test_doubly_pinned_swap_parity(engine):
+    """ref test_kg2c.py:683-718: swapping qedge subject/object on a
+    doubly-pinned query returns the same knowledge-graph edges."""
+    qg = one_hop({"ids": ["CHEM:1"]}, {"ids": ["DIS:parent"]})
+    _, e_fwd = answer_sets(run_query(engine, qg))
+    swapped = one_hop({"ids": ["DIS:parent"]}, {"ids": ["CHEM:1"]})
+    _, e_rev = answer_sets(run_query(engine, swapped))
+    assert e_fwd == e_rev and e_fwd  # same edges, and not vacuously
+
+
 # -- shape guards / errors (ref test_kg2c.py:202-217) ----------------------
 
 def test_multi_edge_rejected(engine):
@@ -720,3 +811,18 @@ def test_get_neighbors(engine):
     out2 = get_neighbors(engine, ["CHEM:1", "DIS:parent"], predicates=["biolink:treats"])
     assert set(out2["CHEM:1"]) == {"DIS:parent", "DIS:grandchild", "MIXED:1"}
     assert out2["DIS:parent"] == []  # reverse direction excluded
+
+
+def test_get_neighbors_category_filter(engine):
+    """ref test_kg2c.py:729-736: the category constraint narrows the
+    neighbor set (and an unrelated category empties it)."""
+    base = get_neighbors(engine, ["GENE:1"])
+    assert set(base["GENE:1"]) >= {"GENE:2"}
+    genes_only = get_neighbors(
+        engine, ["GENE:1"], categories=["biolink:Gene"]
+    )
+    assert genes_only["GENE:1"] == ["GENE:2"]
+    none = get_neighbors(
+        engine, ["GENE:1"], categories=["biolink:Pathway"]
+    )
+    assert none["GENE:1"] == []
