@@ -98,6 +98,9 @@ _EMIT_FIRST = (
     "w1_sessionize",
     "w2_rollup_orders",
     "w3_value_deltas",
+    "c3_sequence_packing",
+    "c4_stratified_sample",
+    "c5_domain_cap",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

@@ -844,3 +844,108 @@ def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = M.text_as_media(docs, media_type="video")
     return M.sample_frames(media, every_nth=2)
+
+
+# -- training-set assembly --------------------------------------------------
+
+
+def _hex4(hexpr: str) -> str:
+    """DuckDB fragment: integer value of the first 4 hex digits of the md5
+    string expression ``hexpr`` (= Spark's conv(substring(md5,1,4),16,10))."""
+    hexd = "'0123456789abcdef'"
+
+    def digit(i: int) -> str:
+        return f"(strpos({hexd}, substr({hexpr}, {i}, 1)) - 1)"
+
+    return f"(4096*{digit(1)} + 256*{digit(2)} + 16*{digit(3)} + {digit(4)})"
+
+
+_MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
+_MD5_STRAT = "md5('strat' || CAST(doc_id AS VARCHAR))"
+_MD5_DOMCAP = "md5('domcap' || CAST(doc_id AS VARCHAR))"
+_U_STRAT = f"({_hex4(_MD5_STRAT)} / 65536.0)"
+_U_DOMCAP = f"({_hex4(_MD5_DOMCAP)} / 65536.0)"
+
+
+@register(
+    "c3_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_hex4(_MD5_ID)} % 8 AS BIGINT) AS shard,
+             CAST(len({_TOKENS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_before // 512 AS seq_idx,
+           cum_before % 512 AS seq_offset,
+           (cum_before % 512) + n_tokens > 512 AS straddles
+    FROM p
+    """,
+    doc="Concat-and-chunk sequence packing into 512-token training "
+    "sequences, hash-sharded so every shard packs independently (one "
+    "shuffle, per-shard window cumsum — no global sort).",
+)
+def c3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators import packing as P
+
+    return P.pack_sequences(load(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "c4_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_U_STRAT} < CASE lang WHEN 'en' THEN 0.25
+                                 WHEN 'de' THEN 0.5
+                                 ELSE 1.0 END
+    """,
+    doc="Language rebalancing: deterministic per-stratum Bernoulli keep "
+    "(md5 uniform vs per-lang rate) — a pure row-local filter, zero "
+    "shuffles at any scale.",
+)
+def c4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators import packing as P
+
+    return P.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates={"en": 0.25, "de": 0.5},
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "c5_domain_cap",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, {_U_DOMCAP} AS __u FROM documents
+    ), n AS (
+      SELECT source, count(*) AS __n FROM documents GROUP BY source
+    ), g AS (
+      SELECT u.doc_id, u.source, u.__u FROM u JOIN n USING (source)
+      WHERE u.__u * n.__n < 40.0
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY __u, doc_id)
+               AS rn
+      FROM g
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+    doc="Per-domain contribution cap (10 docs/domain, deterministic md5 "
+    "pick): two-phase — broadcast per-domain counts Bernoulli-pre-gate "
+    "hot domains to O(cap) survivors before the rank window, so no task "
+    "ever sorts a whole hot domain.",
+)
+def c5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators import packing as P
+
+    return P.cap_per_domain(
+        load(spark, sf_dir, "documents").select("doc_id", "source"), cap=10
+    ).select("doc_id", "source")

@@ -1,0 +1,120 @@
+"""Training-set assembly operators (operators/packing.py): packing
+invariants, sampling determinism, domain-cap exactness, and the plan
+shapes that make each one 100 TB-safe."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ploverdb_spark.operators.packing import (
+    cap_per_domain,
+    md5_uniform,
+    pack_sequences,
+    stratified_sample,
+)
+from tests.conftest import SF_ORACLE
+
+pytestmark = pytest.mark.shard2
+
+SEQ_LEN = 128
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def test_pack_sequences_invariants(docs):
+    packed = pack_sequences(docs, seq_len=SEQ_LEN, n_shards=4).collect()
+    assert packed and all(r.n_tokens > 0 for r in packed)
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # replay the concat stream: each doc starts where the previous
+        # one ended, and the seq/offset/straddle fields describe exactly
+        # that position
+        cum = 0
+        for r in rows:
+            assert r.seq_idx == cum // SEQ_LEN
+            assert r.seq_offset == cum % SEQ_LEN
+            assert r.straddles == (r.seq_offset + r.n_tokens > SEQ_LEN)
+            cum += r.n_tokens
+
+
+def test_pack_sequences_drops_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    out = pack_sequences(df, seq_len=4, n_shards=1).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_stratified_sample_deterministic_and_stratified(docs):
+    rates = {"en": 0.25, "de": 0.5}
+    kept = stratified_sample(docs, rates).select("doc_id").collect()
+    again = stratified_sample(docs, rates).select("doc_id").collect()
+    assert sorted(kept) == sorted(again)  # same salt -> same sample
+    # rate 0 strata vanish, rate 1.0 (default) strata survive intact
+    none_en = stratified_sample(docs, {"en": 0.0}).groupBy("lang").count()
+    got = {r.lang: r["count"] for r in none_en.collect()}
+    base = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert "en" not in got
+    for lang, n in base.items():
+        if lang != "en":
+            assert got[lang] == n
+    # a different salt draws a different sample
+    other = stratified_sample(docs, rates, salt="other").select("doc_id")
+    assert sorted(kept) != sorted(other.collect())
+
+
+def test_stratified_sample_zero_shuffle(docs):
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(stratified_sample(docs, {"en": 0.25}))
+    assert "Exchange" not in plan, plan
+
+
+def test_cap_per_domain_cap_and_gate_losslessness(docs):
+    capped = cap_per_domain(docs.select("doc_id", "source"), cap=7)
+    per_dom = capped.groupBy("source").count().collect()
+    assert per_dom and all(r["count"] <= 7 for r in per_dom)
+    # the Bernoulli pre-gate must not change WHICH docs win: compare
+    # against the exact single-phase rank over the full domain
+    u = md5_uniform(F.col("doc_id"), "domcap")
+    w = Window.partitionBy("source").orderBy("__u", "doc_id")
+    exact = (
+        docs.select("doc_id", "source")
+        .withColumn("__u", u)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 7)
+        .select("doc_id", "source")
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_cap_per_domain_broadcasts_counts(docs):
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(cap_per_domain(docs.select("doc_id", "source")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_exchange(docs):
+    # one hash shuffle on shard; the window sort rides the same
+    # partitioning (Exchange count == 1 in the physical plan)
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(pack_sequences(docs))
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchanges) == 1, plan
