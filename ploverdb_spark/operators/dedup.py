@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 from ploverdb_spark.operators.text import ws_tokens
 
 
+def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster has cores.  Hash-heavy projections (8 md5s per shingle) are
+    CPU-bound, and a small parquet input arrives as 1-2 splits — without
+    this, 2 of 32 cores do all the hashing (measured: 2.3s -> 1.6s for the
+    LSH pair plan at sf0.1).  At real scale the input already has more
+    splits than cores and this is a no-op — the condition, not the
+    repartition, is the scale story."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _md5_salt(id_col: Column) -> Column:
     """Deterministic small salt from an id: first 4 md5 hex digits as an
     integer — engine-agnostic (SQL oracles and Python tests recompute it
@@ -103,7 +117,7 @@ def minhash_signatures(
     leaves the staging in place because the aliases are non-cheap and
     multiply referenced.
     """
-    staged = df.select(
+    staged = fan_out_narrow_input(df).select(
         F.col(id_col),
         ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).select(
@@ -132,6 +146,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket_size: int = 4096,
+    distinct: bool = True,
 ) -> DataFrame:
     """Docs agreeing on all hashes within any band become candidate pairs
     (a < b).
@@ -189,7 +204,10 @@ def lsh_candidate_pairs(
     )
     # all a<b combinations within a (sub-)bucket: ids is sorted, so
     # pairing each element with its strict successors keeps doc_a < doc_b
-    return (
+    # (``distinct=False`` skips the cross-band dedup shuffle for
+    # consumers idempotent to duplicate pairs, e.g. connected_components'
+    # min-agg)
+    out = (
         buckets.select(
             F.explode(
                 F.flatten(
@@ -206,8 +224,8 @@ def lsh_candidate_pairs(
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def simhash(
@@ -324,15 +342,18 @@ def connected_components(
     und_self = sym.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).persist()
-    for i in range(max_iter):
-        # The self-loop row (src == dst) carries each node's OWN previous
-        # label; aggregating it separately rides the same shuffle+agg and
-        # gives the convergence probe for free (new != old as a column),
-        # replacing the old per-round anti-join probe job with a trivial
-        # filter over the already-checkpointed round result.
+
+    def step(lab: DataFrame) -> DataFrame:
+        # One propagation step: min over the closed neighborhood (the
+        # self-loop row carries each node's OWN previous label into
+        # ``old_label`` — the convergence signal rides the same
+        # shuffle+agg), then a pointer jump (labels always point to a
+        # smaller node in the same component, so label(label) is valid
+        # and no larger; a component minimum maps to itself, guarded
+        # with coalesce).
         prop = (
             und_self.join(
-                labels.select(
+                lab.select(
                     F.col("node").alias("dst"), F.col("label").alias("nlabel")
                 ),
                 on="dst",
@@ -345,31 +366,31 @@ def connected_components(
                 ).alias("old_label"),
             )
         )
-        # Pointer jump: follow the label one hop (labels always point to a
-        # smaller node in the same component, so label(label) is valid and
-        # no larger).  Left join: a label that is a component minimum has
-        # label(label) = itself via its own row, but guard with coalesce.
-        # ``prop`` appears TWICE here, so the round's result must be
-        # lineage-truncated (localCheckpoint) — chaining persisted plans
-        # would double the logical-plan size every round and OOM the
-        # driver on plan analysis long before any data is large.
-        new_labels = (
-            prop.join(
-                prop.select(
-                    F.col("node").alias("label"), F.col("label").alias("jlabel")
-                ),
-                on="label",
-                how="left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("jlabel", "label")
-                ).alias("label"),
-                "old_label",
-            )
-            .localCheckpoint(eager=True)
+        return prop.join(
+            prop.select(
+                F.col("node").alias("label"), F.col("label").alias("jlabel")
+            ),
+            on="label",
+            how="left",
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("jlabel", "label")).alias(
+                "label"
+            ),
+            "old_label",
         )
+
+    # One propagation step per materialized round.  (Fusing two steps
+    # into one action was tried and measured SLOWER: ``prop`` appears
+    # twice inside ``step``, so a fused step(step(..)) plan carries four
+    # copies of the inner subtree and exchange reuse does not reliably
+    # dedupe them — the recompute dwarfs the saved job barrier.)
+    # ``step``'s output appears twice in its own jump join, so the round
+    # result must be lineage-truncated (localCheckpoint) — chaining
+    # persisted plans would double the logical-plan size every round and
+    # OOM the driver on plan analysis long before any data is large.
+    for i in range(max_iter):
+        new_labels = step(labels).localCheckpoint(eager=True)
         # Round 0 converges only on an edgeless graph — skip its probe.
         converged = i > 0 and (
             new_labels.where(F.col("label") != F.col("old_label")).isEmpty()

@@ -312,7 +312,11 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same graph with a recursive CTE.",
 )
 def d6_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    # distinct=False: CC's min-agg is idempotent to duplicate candidate
+    # pairs, so the cross-band dedup shuffle is pure waste here
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_signatures(_doubled_docs(spark, sf_dir)), distinct=False
+    )
     return D.connected_components(pairs)
 
 
