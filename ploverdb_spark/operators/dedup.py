@@ -31,21 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ploverdb_spark.operators.common import fan_out_narrow_input
 from ploverdb_spark.operators.text import ws_tokens
-
-
-def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the input has fewer partitions than the
-    cluster has cores.  Hash-heavy projections (8 md5s per shingle) are
-    CPU-bound, and a small parquet input arrives as 1-2 splits — without
-    this, 2 of 32 cores do all the hashing (measured: 2.3s -> 1.6s for the
-    LSH pair plan at sf0.1).  At real scale the input already has more
-    splits than cores and this is a no-op — the condition, not the
-    repartition, is the scale story."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _md5_salt(id_col: Column) -> Column:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ploverdb_spark.operators.common import fan_out_narrow_input
 from ploverdb_spark.operators.dedup import QUANT_SCALE, quantized_cosine_udf
 
 TOPK_SALT = 16
@@ -62,7 +63,9 @@ def brute_force_topk(
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    candidates = embeddings.select(
+    # the Arrow cosine batches are CPU-bound; a 1-split parquet input
+    # would run them all on one core
+    candidates = fan_out_narrow_input(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
     )
     qcos = quantized_cosine_udf()
@@ -134,6 +137,7 @@ def kmeans_assign(
     them (2 rounds = assign -> update -> assign).  Returns (id, cell).
     """
     qcos = quantized_cosine_udf()
+    embeddings = fan_out_narrow_input(embeddings)  # spread the Arrow batches
     centroids = embeddings.where(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centroid")
     )
@@ -187,7 +191,7 @@ def ivf_topk(
         .where(F.col("crank") <= n_probe_cells)
         .select("query_id", "q_emb", "cell")
     )
-    candidates = embeddings.select(
+    candidates = fan_out_narrow_input(embeddings).select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),

@@ -145,3 +145,77 @@ def test_extend_closure_matches_full_recompute(spark, edges, seed):
         ).collect()
     }
     assert got == expected
+
+
+# -- training-set assembly (operators/packing.py) ---------------------------
+
+doc_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=40
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(doc_corpora, st.integers(2, 16))
+def test_pack_sequences_replays_concat_stream(spark, corpus, seq_len):
+    """Whatever the corpus, the packed output must describe exactly the
+    positions a single-pass concat of each shard's docs (ordered by id)
+    would produce."""
+    from ploverdb_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = pack_sequences(df, seq_len=seq_len, n_shards=3).collect()
+    expected_tokens = {
+        i: len(t.split()) for i, t in corpus if len(t.split()) > 0
+    }
+    assert {r.doc_id for r in rows} == set(expected_tokens)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.n_tokens == expected_tokens[r.doc_id]
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in sorted(shard_rows, key=lambda r: r.doc_id):
+            assert (r.seq_idx, r.seq_offset) == (
+                cum // seq_len,
+                cum % seq_len,
+            )
+            assert r.straddles == (r.seq_offset + r.n_tokens > seq_len)
+            cum += r.n_tokens
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000), st.sampled_from(["d0", "d1", "d2"])
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+)
+def test_cap_per_domain_matches_exact_rank(spark, rows, cap):
+    """The two-phase gate+rank must select exactly the docs a plain
+    full-domain rank would, for any domain skew."""
+    from ploverdb_spark.operators.packing import cap_per_domain, md5_uniform
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(map(tuple, cap_per_domain(df, cap=cap).collect()))
+    w = Window.partitionBy("source").orderBy("__u", "doc_id")
+    exact = (
+        df.withColumn("__u", md5_uniform(F.col("doc_id"), "domcap"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .select("doc_id", "source")
+    )
+    assert got == sorted(map(tuple, exact.collect()))
