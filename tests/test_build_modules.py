@@ -22,20 +22,14 @@ from ploverdb_spark.sources.kgx import (
 @pytest.fixture(scope="module")
 def fixture_engine(spark):
     from ploverdb_spark.build.ingest import build_knowledge_graph
-    from tests.test_trapi_engine import EDGES, NODES
+    from tests.test_trapi_engine import EDGE_SCHEMA, EDGES, NODES
 
     nodes = spark.createDataFrame(
         NODES,
         "id string, name string, all_categories array<string>, "
         "equivalent_curies array<string>, publications array<string>",
     )
-    edges = spark.createDataFrame(
-        EDGES,
-        "id string, subject string, object string, predicate string, "
-        "qualified_predicate string, object_direction_qualifier string, "
-        "object_aspect_qualifier string, primary_knowledge_source string, "
-        "knowledge_level string, agent_type string, publications array<string>",
-    )
+    edges = spark.createDataFrame(EDGES, EDGE_SCHEMA)
     return build_knowledge_graph(nodes, edges, KgxConfig()).persist()
 
 

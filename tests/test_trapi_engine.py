@@ -31,6 +31,15 @@ NODES = [
     ),
 ]
 
+# Shared with test_build_modules.py: MUST stay in sync with the EDGES tuples.
+EDGE_SCHEMA = (
+    "id string, subject string, object string, predicate string, "
+    "qualified_predicate string, object_direction_qualifier string, "
+    "object_aspect_qualifier string, primary_knowledge_source string, "
+    "knowledge_level string, agent_type string, publications array<string>, "
+    "supporting_studies array<struct<nctid:string,phase:float>>"
+)
+
 EDGES = [
     # id, subject, object, predicate, qualified_predicate,
     # object_direction_qualifier, object_aspect_qualifier,
@@ -61,14 +70,7 @@ def engine(spark):
         "id string, name string, all_categories array<string>, "
         "equivalent_curies array<string>, publications array<string>",
     )
-    edges = spark.createDataFrame(
-        EDGES,
-        "id string, subject string, object string, predicate string, "
-        "qualified_predicate string, object_direction_qualifier string, "
-        "object_aspect_qualifier string, primary_knowledge_source string, "
-        "knowledge_level string, agent_type string, publications array<string>, "
-        "supporting_studies array<struct<nctid:string,phase:float>>",
-    )
+    edges = spark.createDataFrame(EDGES, EDGE_SCHEMA)
     kg = build_knowledge_graph(nodes, edges, KgxConfig()).persist()
     return TrapiEngine(kg, kp_infores_curie="infores:test-kp")
 
