@@ -101,6 +101,7 @@ _EMIT_FIRST = (
     "c3_sequence_packing",
     "c4_stratified_sample",
     "c5_domain_cap",
+    "c6_embedding_quantization",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

@@ -202,3 +202,67 @@ def ivf_topk(
         .withColumn("cos", qcos(F.col("q_emb"), F.col("c_emb")))
     )
     return topk_per_query(scored, k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int quantization — the storage-compression
+    step a 100 TB embedding store runs before shipping vectors to
+    training or ANN serving (4x smaller than float32 at 8 bits).
+
+    Per vector: ``scale = max(|x_i|)``; each component maps to
+    ``floor(x_i / scale * qmax + 0.5)`` with ``qmax = 2^(bits-1) - 1``
+    (127 for int8).  All math is elementwise IEEE double with
+    order-independent reductions (max, not sum), so a SQL oracle
+    reproduces it bit-for-bit.  Returns (id, n_dims, scale, q,
+    max_abs_err) where ``max_abs_err`` is the per-vector worst-case
+    reconstruction error — the metric that decides whether int8 is safe
+    for the downstream consumer.
+
+    Pure Column expressions over one scan: zero shuffles, zero UDFs —
+    embarrassingly parallel at any scale.  The scale column is staged in
+    its own projection so the per-element lambda does not re-evaluate the
+    array_max per component (same quadratic-per-row trap as
+    ``shingles_of``).
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    staged = embeddings.select(
+        F.col(id_col),
+        v,
+        F.size(v).alias("n_dims"),
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+            F.lit(0.0),
+        ).alias("__absmax"),
+    ).select(
+        F.col(id_col),
+        v,
+        "n_dims",
+        F.when(F.col("__absmax") > 0, F.col("__absmax"))
+        .otherwise(F.lit(1.0))
+        .alias("__scale"),
+    )
+    s = F.col("__scale")
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") / s * qmax + 0.5).cast("int")
+    )
+    staged = staged.withColumn("q", q)
+    err = F.array_max(
+        F.zip_with(
+            v,
+            F.col("q"),
+            lambda x, c: F.abs(x.cast("double") - c.cast("double") * s / qmax),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_dims",
+        F.round(s, 6).alias("scale"),
+        "q",
+        F.round(err, 9).alias("max_abs_err"),
+    )

@@ -953,3 +953,41 @@ def c5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.cap_per_domain(
         load(spark, sf_dir, "documents").select("doc_id", "source"), cap=10
     ).select("doc_id", "source")
+
+
+@register(
+    "c6_embedding_quantization",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(len(embedding) AS INTEGER) AS n_dims,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS am
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, embedding, n_dims,
+             CASE WHEN am > 0 THEN am ELSE 1.0 END AS sc
+      FROM s
+    ), q AS (
+      SELECT vec_id, embedding, n_dims, sc,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS INTEGER)
+             ) AS q
+      FROM g
+    )
+    SELECT vec_id, n_dims, round(sc, 6) AS scale, q,
+           round(list_max(list_transform(
+             range(1, n_dims + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+                      - CAST(q[i] AS DOUBLE) * sc / 127)
+           )), 9) AS max_abs_err
+    FROM q
+    """,
+    doc="int8 embedding quantization (per-vector symmetric scale) with "
+    "worst-case reconstruction error — pure column expressions, zero "
+    "shuffles/UDFs; the storage-compression step before shipping vectors "
+    "to training or ANN serving.",
+)
+def c6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_embeddings(load(spark, sf_dir, "embeddings"))

@@ -383,3 +383,96 @@ def edge_rate_monitor(
         .groupBy(F.window(F.col(ts_col), window_size), F.col("predicate"))
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+def stream_document_deltas(
+    spark: SparkSession,
+    drop_dir: str,
+    doc_schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Stream document files (JSONL) from ``drop_dir`` into an
+    exact-deduplicated corpus artifact — the continuous-ingest front of a
+    training-data pipeline (crawl batches land as files; only
+    never-seen-before content enters the corpus).
+
+    Per micro-batch: hash content (``md5(text)``), keep the smallest id
+    per hash WITHIN the batch, then drop hashes already accepted by any
+    earlier batch.  The seen-hash set lives in a sidecar hash-partitioned
+    into :data:`N_ID_BUCKETS` buckets by ``xxhash64(content_hash)``, and
+    the batch reads only the bucket partitions its own hashes land in —
+    per-batch cost is O(batch), never O(corpus), the same scale shape as
+    :func:`stream_edge_deltas`.
+
+    Replay safety (foreachBatch is at-least-once): the corpus artifact is
+    itself partitioned by ``hash_bucket``, and the append is deduped
+    against the bucket-pruned artifact slice as well as the sidecar — a
+    replayed batch whose rows landed but whose sidecar append was lost
+    appends nothing.
+    """
+    from pyspark.sql import Window
+
+    artifact = f"{out_dir}/corpus.parquet"
+    sidecar = f"{out_dir}/doc_hashes_seen.parquet"
+    raw = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 8)
+        .json(drop_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        hashed = batch_df.withColumn("content_hash", F.md5(F.col(text_col)))
+        w = Window.partitionBy("content_hash").orderBy(id_col)
+        uniq = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "hash_bucket",
+                F.pmod(F.xxhash64("content_hash"), F.lit(N_ID_BUCKETS)),
+            )
+            .persist()
+        )
+        try:
+            buckets = [
+                int(r.hash_bucket)
+                for r in uniq.select("hash_bucket").distinct().collect()
+            ]
+            new_rows = uniq
+            if _path_exists(session, sidecar):
+                seen = (
+                    session.read.parquet(sidecar)
+                    .where(F.col("hash_bucket").isin(buckets))
+                    .select("content_hash")
+                )
+                new_rows = new_rows.join(
+                    seen, on="content_hash", how="left_anti"
+                )
+            if _path_exists(session, artifact):
+                prior = (
+                    session.read.parquet(artifact)
+                    .where(F.col("hash_bucket").isin(buckets))
+                    .select("content_hash")
+                    .distinct()
+                )
+                new_rows = new_rows.join(
+                    prior, on="content_hash", how="left_anti"
+                )
+            new_rows.write.partitionBy("hash_bucket").mode("append").parquet(
+                artifact
+            )
+            new_rows.select("content_hash", "hash_bucket").write.partitionBy(
+                "hash_bucket"
+            ).mode("append").parquet(sidecar)
+        finally:
+            uniq.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -306,6 +306,10 @@ def main() -> None:
         "n_edges": N_EDGES,
         "n_subclass_edges": N_SUBCLASS,
         "cpus": spark.sparkContext.defaultParallelism,
+        # the VM shares a host; serving latency varies ~3x with external
+        # load (this process contributes ~0 at start) — record it so runs
+        # are interpretable
+        "host_load_avg_start": os.getloadavg()[0],
     }
 
     if serve_only:
@@ -419,6 +423,7 @@ def main() -> None:
     report["serial_one_hop_p50_sec"] = round(statistics.median(lat), 3)
     print(f"# serial one-hop p50: {report['serial_one_hop_p50_sec']}s", flush=True)
 
+    report["host_load_avg_pre_burst"] = os.getloadavg()[0]
     report["burst"] = burst(registry)
     report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
     print(json.dumps(report), flush=True)

@@ -118,3 +118,25 @@ def test_pack_sequences_single_exchange(docs):
     plan = formatted_plan(pack_sequences(docs))
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(exchanges) == 1, plan
+
+
+def test_quantize_embeddings_zero_shuffle(spark):
+    from ploverdb_spark.operators.similarity import quantize_embeddings
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = formatted_plan(quantize_embeddings(emb))
+    assert "Exchange" not in plan, plan
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from ploverdb_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    rows = quantize_embeddings(emb).collect()
+    assert rows
+    for r in rows:
+        assert len(r.q) == r.n_dims
+        assert all(-127 <= c <= 127 for c in r.q)
+        # symmetric int8: worst-case error is scale/(2*127) per component
+        assert r.max_abs_err <= r.scale / 254 + 1e-9
