@@ -828,3 +828,73 @@ def test_get_neighbors_category_filter(engine):
         engine, ["GENE:1"], categories=["biolink:Pathway"]
     )
     assert none["GENE:1"] == []
+
+
+# -- multi-value qnode/qedge specs (ref test_kg2c.py:89-172, 188-200) -----
+
+def test_multiple_output_categories(engine):
+    """ref test_kg2c.py:89-106: the output category list is a union."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {"categories": ["biolink:Disease", "biolink:Gene"]},
+        ),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e1", "e2", "e5", "e8"}  # diseases AND the gene edge
+    resp2 = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:1"]}, {"categories": ["biolink:Gene"]}),
+    )
+    _, edges2 = answer_sets(resp2)
+    assert edges2 == {"e5"}  # narrowing to one category drops the rest
+
+
+def test_multiple_predicates_union(engine):
+    """ref test_kg2c.py:109-130: predicates are a union and each
+    contributes edges."""
+    resp = run_query(
+        engine,
+        one_hop(
+            {"ids": ["CHEM:1"]},
+            {},
+            ["biolink:treats", "biolink:affects"],
+        ),
+    )
+    kg_edges = resp["message"]["knowledge_graph"]["edges"]
+    preds = {e["predicate"] for e in kg_edges.values()}
+    assert set(kg_edges) == {"e1", "e2", "e5", "e8"}
+    assert {"biolink:treats", "biolink:affects"} <= preds
+
+
+def test_multiple_input_ids_distinct_concepts(engine):
+    """ref test_kg2c.py:153-171: two pinned input ids -> two distinct
+    input concepts in the results."""
+    resp = run_query(
+        engine,
+        one_hop({"ids": ["CHEM:1", "CHEM:2"]}, {"categories": ["biolink:Gene"]}),
+    )
+    _, edges = answer_sets(resp)
+    assert edges == {"e5", "e6"}
+    inputs = {
+        b["id"]
+        for r in resp["message"]["results"]
+        for b in r["node_bindings"]["n00"]
+    }
+    assert inputs == {"CHEM:1", "CHEM:2"}
+
+
+def test_single_node_query_multiple_ids(engine):
+    """ref test_kg2c.py:188-200: multiple ids in an edgeless QG, each
+    bound to its own query id (subclass descendants included)."""
+    resp = run_query(
+        engine,
+        {"nodes": {"n00": {"ids": ["DIS:child", "GENE:1"]}}, "edges": {}},
+    )
+    nodes, _ = answer_sets(resp)
+    assert nodes == {"DIS:child", "DIS:grandchild", "GENE:1"}
+    bindings = resp["message"]["results"][0]["node_bindings"]["n00"]
+    by_id = {b["id"]: b.get("query_id") for b in bindings}
+    assert by_id["DIS:grandchild"] == "DIS:child"
+    assert by_id.get("GENE:1") in (None, "GENE:1")  # self-binding: no remap
