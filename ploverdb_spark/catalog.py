@@ -102,6 +102,7 @@ _EMIT_FIRST = (
     "c4_stratified_sample",
     "c5_domain_cap",
     "c6_embedding_quantization",
+    "d7_edit_distance_verify",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

@@ -392,6 +392,46 @@ def connected_components(
     )
 
 
+
+def edit_distance_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    prefix_len: int = 256,
+) -> DataFrame:
+    """Exact edit-distance verification for CANDIDATE pairs — the
+    second-stage check after LSH/SimHash blocking (MinHash finds
+    lookalikes; Levenshtein proves them).
+
+    Never all-pairs: ``pairs`` comes from a bounded candidate generator,
+    and the comparison is capped at ``prefix_len`` characters per side,
+    so per-pair cost is O(prefix_len^2) regardless of document length —
+    the standard bound a production near-dup verifier puts on the DP
+    matrix.  ``rel_distance`` normalizes by the longer compared prefix.
+    JVM-side ``levenshtein`` expression (no UDF); DuckDB ships the same
+    function, so the oracle is exact.
+    """
+    t = docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__t"),
+    )
+    a = t.select(F.col(id_col).alias(left_col), F.col("__t").alias("t_a"))
+    b = t.select(F.col(id_col).alias(right_col), F.col("__t").alias("t_b"))
+    joined = pairs.join(a, on=left_col).join(b, on=right_col)
+    dist = F.levenshtein("t_a", "t_b")
+    rel = dist / F.greatest(
+        F.greatest(F.length("t_a"), F.length("t_b")), F.lit(1)
+    )
+    return joined.select(
+        left_col,
+        right_col,
+        dist.alias("edit_distance"),
+        F.round(rel, 6).alias("rel_distance"),
+    )
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, accumulated in double
     with a fixed left-to-right fold (bit-identical across engines).

@@ -991,3 +991,33 @@ def c5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "d7_edit_distance_verify",
+    oracle=f"""
+    WITH pairs AS ({_D2_ORACLE}),
+    corpus AS ({_DOUBLED}),
+    t AS (SELECT doc_id, substr(text, 1, 256) AS __t FROM corpus),
+    j AS (
+      SELECT p.doc_a, p.doc_b, ta.__t AS t_a, tb.__t AS t_b
+      FROM pairs p
+      JOIN t ta ON p.doc_a = ta.doc_id
+      JOIN t tb ON p.doc_b = tb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(t_a, t_b) AS edit_distance,
+           round(levenshtein(t_a, t_b)
+                 / GREATEST(GREATEST(length(t_a), length(t_b)), 1), 6)
+             AS rel_distance
+    FROM j
+    """,
+    doc="Edit-distance verification of LSH candidate pairs (second-stage "
+    "near-dup check: MinHash finds lookalikes, Levenshtein proves them). "
+    "Never all-pairs; DP matrix capped at 256 chars per side; JVM "
+    "levenshtein expression, no UDF.",
+)
+def d7_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doubled_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    return D.edit_distance_pairs(pairs, docs)
