@@ -15,6 +15,9 @@ native top-k-per-group pattern with partial sort pushdown.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -136,23 +139,44 @@ def kmeans_assign(
     ``assignment_rounds`` assignments run with centroid updates between
     them (2 rounds = assign -> update -> assign).  Returns (id, cell).
     """
-    qcos = quantized_cosine_udf()
     embeddings = fan_out_narrow_input(embeddings)  # spread the Arrow batches
     centroids = embeddings.where(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centroid")
     )
     assign = None
     for r in range(assignment_rounds):
-        scored = (
-            embeddings.select(id_col, vec_col)
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("sim", qcos(F.col(vec_col), F.col("centroid")))
+        # Assignment is a PURE MAP: the K x dim centroid matrix is
+        # K-sized (not data-sized), so it collects to the driver and
+        # rides into an Arrow UDF closure — every vector scores all K
+        # cells in one numpy matmul with zero shuffle and zero row
+        # blow-up.  (The earlier shape crossJoined |corpus| x K rows and
+        # ranked them with a per-vector window — a full shuffle per
+        # round whose only output was an argmax.)  Ties break to the
+        # smallest cell id: rows are sorted by cell and np.argmax takes
+        # the first maximum, matching the SQL oracle's
+        # (sim DESC, cell ASC) ranking.
+        cent_rows = sorted(
+            (row["cell"], np.asarray(row["centroid"], dtype=np.float64))
+            for row in centroids.collect()
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
-        assign = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(id_col, vec_col, "cell")
+        cells = np.array([c for c, _ in cent_rows], dtype=np.int32)
+        Cq = np.floor(
+            np.stack([v for _, v in cent_rows]) * QUANT_SCALE + 0.5
+        ).astype(np.int64)
+        cnorm = np.sqrt((Cq * Cq).sum(axis=1).astype(np.float64))
+
+        @F.pandas_udf("int")
+        def assign_cell(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            Q = np.floor(M * QUANT_SCALE + 0.5).astype(np.int64)
+            cos = (Q @ Cq.T).astype(np.float64) / (
+                np.sqrt((Q * Q).sum(axis=1).astype(np.float64))[:, None]
+                * cnorm[None, :]
+            )
+            return pd.Series(cells[np.argmax(cos, axis=1)])
+
+        assign = embeddings.select(
+            id_col, vec_col, assign_cell(F.col(vec_col)).alias("cell")
         )
         if r < assignment_rounds - 1:
             centroids = ivf_centroids(assign, cell_col="cell", vec_col=vec_col)
