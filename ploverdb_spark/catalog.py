@@ -103,6 +103,7 @@ _EMIT_FIRST = (
     "c5_domain_cap",
     "c6_embedding_quantization",
     "d7_edit_distance_verify",
+    "m3_resize_dims",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

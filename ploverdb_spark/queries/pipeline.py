@@ -1021,3 +1021,45 @@ def d7_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doubled_docs(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
     return D.edit_distance_pairs(pairs, docs)
+
+
+@register(
+    "m3_resize_dims",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ), d AS (
+      SELECT media_id,
+             CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+             CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height
+      FROM m
+    ), f AS (
+      SELECT media_id, width, height,
+             GREATEST(width, height) AS m
+      FROM d
+    )
+    SELECT media_id, width, height,
+           CASE WHEN m <= 64 THEN width
+                ELSE GREATEST(1, CAST(FLOOR(width * 64.0 / m) AS INTEGER))
+           END AS out_width,
+           CASE WHEN m <= 64 THEN height
+                ELSE GREATEST(1, CAST(FLOOR(height * 64.0 / m) AS INTEGER))
+           END AS out_height,
+           CAST(CASE WHEN m <= 64 THEN width
+                     ELSE GREATEST(1, CAST(FLOOR(width * 64.0 / m) AS INTEGER))
+                END
+              * CASE WHEN m <= 64 THEN height
+                     ELSE GREATEST(1, CAST(FLOOR(height * 64.0 / m) AS INTEGER))
+                END * 3 AS BIGINT) AS n_out_bytes
+    FROM f
+    """,
+    doc="Thumbnail-resize plumbing: decode dims -> aspect-preserving "
+    "64px fit -> output geometry/byte size, via the same mapInPandas "
+    "shape as m1 (payload dropped pre-shuffle). Real pixels go through "
+    "the pure-Python nearest-neighbor kernel (unit-tested on decoded "
+    "PNG/BMP fixtures); stub-decoded rows carry the geometry math.",
+)
+def m3_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs)
+    return M.resize_media(media, max_dim=64)

@@ -158,3 +158,30 @@ def test_extract_media_features_real_dims_through_spark(spark):
     assert (rows[2].width, rows[2].height) == (6, 2)
     stub = _fake_decode(b"plain text payload", "image")
     assert (rows[3].width, rows[3].height) == (stub["width"], stub["height"])
+
+
+def test_fit_within_geometry():
+    from ploverdb_spark.operators.multimodal import fit_within
+
+    assert fit_within(128, 64, 64) == (64, 32)
+    assert fit_within(64, 128, 64) == (32, 64)
+    assert fit_within(50, 40, 64) == (50, 40)  # downscale-only
+    assert fit_within(1000, 3, 64) == (64, 1)  # floor + min-1 guard
+    assert fit_within(3, 1000, 64) == (1, 64)
+
+
+def test_resize_nearest_on_decoded_png():
+    """The resize kernel verified on REAL decoded pixels: a 4x2 RGB PNG
+    downsampled to 2x1 must keep exactly the nearest-neighbor picks."""
+    from ploverdb_spark.operators.multimodal import decode_png, resize_nearest
+
+    # rows: (r0 r1 r2 r3) / (r4 r5 r6 r7), each pixel one distinct red value
+    pixels = bytes(
+        v for i in range(8) for v in (i * 10, 0, 0)
+    )
+    png = make_png(4, 2, pixels, color_type=2)
+    w, h, samples, ch = decode_png(png)
+    assert (w, h, ch) == (4, 2, 3)
+    out = resize_nearest(samples, w, h, ch, 2, 1)
+    # sx = x*4//2 -> pixels 0 and 2 of source row 0 (sy = 0*2//1 = 0)
+    assert bytes(out) == bytes([0, 0, 0, 20, 0, 0])
