@@ -104,6 +104,7 @@ _EMIT_FIRST = (
     "c6_embedding_quantization",
     "d7_edit_distance_verify",
     "m3_resize_dims",
+    "t6_repetition_scores",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

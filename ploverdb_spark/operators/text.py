@@ -178,3 +178,67 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.select("doc_id", *counts)
     total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
     return out.withColumn("has_pii", (total > 0).cast("int"))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family of
+    quality filters: heavily repetitive documents are boilerplate/spam
+    and get dropped before training):
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats of
+      an earlier line;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram slots.
+
+    Shuffle-free by construction: the top-bigram multiplicity comes from
+    a sort + run-length fold over the document's OWN bigram array
+    (O(n log n) per row), not from an explode + groupBy — per-document
+    metrics must never cost a corpus-wide shuffle.  Pure column
+    expressions, zero UDFs.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        "doc_id",
+        F.filter(F.split(t, r"\n"), lambda x: x != F.lit("")).alias("__lines"),
+        ws_tokens(F.lower(t)).alias("__toks"),
+    )
+    n_tok = F.size("__toks")
+    bigrams = F.when(
+        n_tok >= 2,
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(1), n_tok - 1),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i, 2), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("__bigrams", bigrams)
+    # run-length fold over the sorted bigram array -> max multiplicity
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    top_count = F.aggregate("__bigrams", acc0, step, lambda a: a.best)
+    n_lines = F.size("__lines")
+    n_uniq_lines = F.size(F.array_distinct("__lines"))
+    n_big = F.size("__bigrams")
+    return staged.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - n_uniq_lines) / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        n_big.alias("n_bigrams"),
+        top_count.alias("top_bigram_count"),
+        F.round(top_count / F.greatest(n_big, F.lit(1)), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -1063,3 +1063,60 @@ def m3_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = M.text_as_media(docs)
     return M.resize_media(media, max_dim=64)
+
+
+@register(
+    "t6_repetition_scores",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || repeat(chr(10) || 'same boilerplate line',
+                            CAST(doc_id % 4 AS INTEGER)) AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\n'), x -> x <> '')
+               AS lines,
+             {_TOKENS} AS toks
+      FROM corpus
+    ), g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      FROM t
+    ), u AS (
+      SELECT doc_id, unnest(bigrams) AS bg FROM g
+    ), c AS (
+      SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg
+    ), mx AS (
+      SELECT doc_id, max(cnt) AS top_bigram_count FROM c GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           len(lines) AS n_lines,
+           round((len(lines) - len(list_distinct(lines)))
+                 / GREATEST(len(lines), 1), 6) AS dup_line_frac,
+           len(bigrams) AS n_bigrams,
+           CAST(COALESCE(mx.top_bigram_count, 0) AS INTEGER)
+             AS top_bigram_count,
+           round(COALESCE(mx.top_bigram_count, 0)
+                 / GREATEST(len(bigrams), 1), 6) AS top_bigram_frac
+    FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-line fraction "
+    "and top-bigram fraction per document. Shuffle-free (sorted "
+    "run-length fold over each doc's own bigram array, not explode + "
+    "groupBy); deterministic boilerplate lines planted on 3/4 of docs so "
+    "the metric provably fires. The oracle recomputes the max bigram "
+    "multiplicity via unnest + group-by.",
+)
+def t6_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat('\\nsame boilerplate line', CAST(doc_id % 4 AS INT))"),
+        ).alias("text"),
+    )
+    return T.repetition_scores(docs)
