@@ -82,6 +82,16 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by PNG color type (bit depth 8 assumed)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Decoded-pixel allocation cap: header dims are UNTRUSTED, so every
+# allocation derived from them is bounded before it happens (a 60-byte
+# crafted payload claiming 2^20 x 2^20 pixels must degrade per record,
+# not OOM the task).
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
+# Everything a corrupt/hostile image payload can legitimately raise while
+# decoding; callers degrade to the hash stub on ANY of these.
+DECODE_ERRORS = (ValueError, IndexError, struct.error, zlib.error, MemoryError)
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -131,9 +141,15 @@ def decode_png(data: bytes) -> tuple[int, int, bytearray, int]:
         pos += 12 + length  # length + type + body + crc
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    if expected > MAX_DECODED_BYTES:
+        # dims come from an untrusted header; bound the allocation BEFORE
+        # inflating (a tiny zip-bomb payload must not OOM the task)
+        raise ValueError(f"decoded size {expected} over cap")
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("pixel data size mismatch")
     out = bytearray(height * stride)
     prev_start = None
@@ -187,8 +203,16 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytearray, int]:
     top_down = height_raw < 0
     height = abs(height_raw)
     channels = bpp // 8
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive BMP dimensions")
     row_bytes = width * channels
     row_padded = (row_bytes + 3) & ~3
+    # header dims are untrusted: prove the payload actually carries the
+    # claimed pixel data BEFORE allocating height*row_bytes
+    if pixel_off + (height - 1) * row_padded + row_bytes > len(data):
+        raise ValueError("BMP pixel data exceeds payload")
+    if height * row_bytes > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over cap")
     out = bytearray(height * row_bytes)
     for y in range(height):
         src_row = y if top_down else height - 1 - y
@@ -201,7 +225,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytearray, int]:
 
 
 def _image_features(
-    payload: bytes, width: int, height: int, samples: bytearray
+    payload: bytes, width: int, height: int, samples: bytearray | None
 ) -> dict[str, Any]:
     return {
         "n_bytes": len(payload),
@@ -213,20 +237,68 @@ def _image_features(
     }
 
 
-def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
-    """Magic-byte-routed decode: real PNG/BMP parsing when the payload is
-    a genuine image container, the deterministic hash stub otherwise
-    (unknown formats AND corrupt image bytes — a 100 TB scan must degrade
-    per-record, never fail the stage on one bad file)."""
+def image_header_dims(payload: bytes) -> tuple[int, int] | None:
+    """Header-only dims of a PNG/BMP payload, ``None`` for anything that
+    is not a supported image container.  Validates the SAME support
+    envelope as the full decoders (bit depth 8, known color type,
+    non-interlaced; uncompressed 24/32-bpp BMP whose claimed pixel data
+    fits the payload) so "has dims" and "is decodable" stay one notion —
+    but does NOT inflate or unfilter pixels, because metadata extraction
+    over a 100 TB archive must be O(header), not O(pixels)."""
     try:
         if payload[:8] == PNG_MAGIC:
-            w, h, px, _ = decode_png(payload)
-            return _image_features(payload, w, h, px)
+            if payload[12:16] != b"IHDR" or len(payload) < 29:
+                return None
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[16:29]
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                return None
+            return w, h
         if payload[:2] == b"BM" and len(payload) > 34:
-            w, h, px, _ = decode_bmp(payload)
-            return _image_features(payload, w, h, px)
-    except (ValueError, struct.error, zlib.error):
-        pass  # corrupt/unsupported container: degrade to the hash stub
+            (pixel_off,) = struct.unpack("<I", payload[10:14])
+            w, h_raw = struct.unpack("<ii", payload[18:26])
+            (bpp,) = struct.unpack("<H", payload[28:30])
+            (compression,) = struct.unpack("<I", payload[30:34])
+            h = abs(h_raw)
+            if compression != 0 or bpp not in (24, 32) or w <= 0 or h <= 0:
+                return None
+            row_padded = (w * (bpp // 8) + 3) & ~3
+            if pixel_off + (h - 1) * row_padded + w * (bpp // 8) > len(payload):
+                return None
+            return w, h
+    except DECODE_ERRORS:
+        pass
+    return None
+
+
+def try_decode_image(
+    payload: bytes,
+) -> tuple[int, int, bytearray, int] | None:
+    """Full magic-byte-routed pixel decode, ``None`` when the payload is
+    not a decodable image (unknown container, corrupt bytes, hostile
+    headers) — the single shared routing/degrade point for every consumer
+    that needs actual pixels."""
+    try:
+        if payload[:8] == PNG_MAGIC:
+            return decode_png(payload)
+        if payload[:2] == b"BM" and len(payload) > 34:
+            return decode_bmp(payload)
+    except DECODE_ERRORS:
+        pass
+    return None
+
+
+def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Magic-byte-routed metadata decode: real PNG/BMP header parsing when
+    the payload is a genuine image container, the deterministic hash stub
+    otherwise (unknown formats AND corrupt image bytes — a 100 TB scan
+    must degrade per-record, never fail the stage on one bad file).
+    Feature extraction reads ONLY the header — the per-pixel unfilter
+    loop runs solely where pixels are consumed (:func:`resize_media`)."""
+    dims = image_header_dims(payload)
+    if dims is not None:
+        return _image_features(payload, dims[0], dims[1], None)
     return _fake_decode(payload, media_type)
 
 
@@ -363,17 +435,13 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 payload = bytes(payload)
-                try:
-                    if payload[:8] == PNG_MAGIC:
-                        w, h, px, ch = decode_png(payload)
-                    elif payload[:2] == b"BM" and len(payload) > 34:
-                        w, h, px, ch = decode_bmp(payload)
-                    else:
-                        raise ValueError("not a native image")
+                decoded = try_decode_image(payload)
+                if decoded is not None:
+                    w, h, px, ch = decoded
                     ow, oh = fit_within(w, h, max_dim)
                     resized = resize_nearest(px, w, h, ch, ow, oh)
                     n_out = len(resized)
-                except (ValueError, IndexError, struct.error, zlib.error):
+                else:
                     d = _fake_decode(payload, str(mtype))
                     w, h, ch = d["width"], d["height"], 3
                     ow, oh = fit_within(w, h, max_dim)

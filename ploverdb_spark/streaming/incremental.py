@@ -56,6 +56,30 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _has_committed_files(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file.  A crash
+    during the very first append can leave the directory with only the
+    committer's ``_temporary`` scratch inside — ``fs.exists`` is then
+    true but ``spark.read.parquet`` throws on every replay, poisoning the
+    stream.  Readers must gate on committed files, not bare existence."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    root = hpath.toUri().getPath()
+    it = fs.listFiles(hpath, True)  # recursive: sees bucket partitions
+    while it.hasNext():
+        p = it.next().getPath().toUri().getPath()
+        rel = p[len(root) :].lstrip("/")
+        # every path segment must be a real data segment — files under
+        # _temporary/ (committer scratch) or any hidden dir don't count
+        if all(
+            not seg.startswith("_") and not seg.startswith(".")
+            for seg in rel.split("/")
+        ):
+            return True
+    return False
+
+
 def _atomic_swap_in(spark: SparkSession, tmp_path: str, final_path: str) -> None:
     """Promote a fully-written temp dir over ``final_path`` via renames
     (rename is atomic per path on HDFS/local; the final→old→delete dance
@@ -115,6 +139,19 @@ def seen_ids_reader(
         .where(F.col("id_bucket").isin([int(b) for b in buckets]))
         .select("id")
     )
+
+
+def _clear_committer_scratch(spark: SparkSession, path: str) -> None:
+    """Delete ``<path>/_temporary`` left by a crashed append.  Batch jobs
+    all commit under ``_temporary/0`` (the Hadoop committer's job id is
+    always 0), so stale scratch from a crashed write collides with the
+    NEXT append's commitJob on top of poisoning bare reads.  The stream
+    is the artifact's only writer, so clearing scratch between batches is
+    always safe."""
+    scratch = f"{path.rstrip('/')}/_temporary"
+    fs, hpath, _ = _hadoop_fs(spark, scratch)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def stream_edge_deltas(
@@ -181,10 +218,12 @@ def stream_edge_deltas(
     def _artifact_bucketed(session: SparkSession) -> bool:
         """Fresh deployments use the id_bucket-partitioned layout; an
         existing flat artifact keeps its layout (mixing loose files with
-        partition dirs breaks Spark's partition discovery)."""
-        fs, hpath, _ = _hadoop_fs(session, artifact)
-        if not fs.exists(hpath):
+        partition dirs breaks Spark's partition discovery).  A directory
+        with no COMMITTED files (first-append crash debris) counts as
+        fresh, not legacy-flat."""
+        if not _has_committed_files(session, artifact):
             return True
+        fs, hpath, _ = _hadoop_fs(session, artifact)
         for st in fs.listStatus(hpath):
             if st.getPath().getName().startswith("id_bucket="):
                 return True
@@ -194,19 +233,30 @@ def stream_edge_deltas(
         if batch_df.isEmpty():
             return
         session = batch_df.sparkSession
+        _clear_committer_scratch(session, artifact)
+        _clear_committer_scratch(session, sidecar)
         edges = flip_noncanonical_edges(batch_df, model)
         bidir = _with_bucket(build_edges_bidir(edges, nodes)).persist()
         try:
-            if not _path_exists(session, sidecar) and _path_exists(
-                session, artifact
-            ):
+            if not _has_committed_files(
+                session, sidecar
+            ) and _has_committed_files(session, artifact):
                 # Migration: deployment predates the sidecar — backfill it
                 # from the artifact once (the only remaining full scan).
-                _with_bucket(
-                    session.read.parquet(artifact).select("id").distinct()
-                ).write.partitionBy("id_bucket").mode("overwrite").parquet(
-                    sidecar
+                # Only FULLY-committed edges qualify: an id whose append
+                # lost one direction row to a partial job commit must not
+                # be marked seen, or the artifact self-check below never
+                # gets the chance to restore the missing row.
+                complete = (
+                    session.read.parquet(artifact)
+                    .groupBy("id")
+                    .agg(F.countDistinct("direction").alias("__nd"))
+                    .where(F.col("__nd") >= 2)
+                    .select("id")
                 )
+                _with_bucket(complete).write.partitionBy(
+                    "id_bucket"
+                ).mode("overwrite").parquet(sidecar)
             batch_ids = bidir.select("id", "id_bucket").distinct().persist()
             bucketed = _artifact_bucketed(session)
             new_rows, new_ids = bidir, batch_ids
@@ -214,22 +264,29 @@ def stream_edge_deltas(
                 r.id_bucket
                 for r in batch_ids.select("id_bucket").distinct().collect()
             ]
-            if _path_exists(session, sidecar):
+            if _has_committed_files(session, sidecar):
                 seen = seen_ids_reader(session, sidecar, buckets)
                 new_rows = new_rows.join(seen, on="id", how="left_anti")
                 new_ids = new_ids.join(seen, on="id", how="left_anti")
-            if _path_exists(session, artifact):
+            if _has_committed_files(session, artifact):
                 # Replay idempotency: a retried epoch whose rows landed but
                 # whose sidecar append was lost must not re-append.  Check
                 # the artifact itself, pruned to the batch's buckets (flat
-                # legacy layout: full id-column scan).
+                # legacy layout: full scan of the two key columns).  The
+                # anti-join key is (id, direction), NOT id alone: each edge
+                # writes a forward and a reverse row from different tasks,
+                # and a crash mid job-commit can land one without the
+                # other — keying by id would make the replay drop the
+                # missing direction row forever.
                 prior = session.read.parquet(artifact)
                 if bucketed:
                     prior = prior.where(
                         F.col("id_bucket").isin([int(b) for b in buckets])
                     )
                 new_rows = new_rows.join(
-                    prior.select("id").distinct(), on="id", how="left_anti"
+                    prior.select("id", "direction").distinct(),
+                    on=["id", "direction"],
+                    how="left_anti",
                 )
             if bucketed:
                 new_rows.write.partitionBy("id_bucket").mode("append").parquet(
@@ -426,6 +483,8 @@ def stream_document_deltas(
         if batch_df.isEmpty():
             return
         session = batch_df.sparkSession
+        _clear_committer_scratch(session, artifact)
+        _clear_committer_scratch(session, sidecar)
         hashed = batch_df.withColumn("content_hash", F.md5(F.col(text_col)))
         w = Window.partitionBy("content_hash").orderBy(id_col)
         uniq = (
@@ -444,7 +503,7 @@ def stream_document_deltas(
                 for r in uniq.select("hash_bucket").distinct().collect()
             ]
             new_rows = uniq
-            if _path_exists(session, sidecar):
+            if _has_committed_files(session, sidecar):
                 seen = (
                     session.read.parquet(sidecar)
                     .where(F.col("hash_bucket").isin(buckets))
@@ -453,7 +512,7 @@ def stream_document_deltas(
                 new_rows = new_rows.join(
                     seen, on="content_hash", how="left_anti"
                 )
-            if _path_exists(session, artifact):
+            if _has_committed_files(session, artifact):
                 prior = (
                     session.read.parquet(artifact)
                     .where(F.col("hash_bucket").isin(buckets))
@@ -463,12 +522,16 @@ def stream_document_deltas(
                 new_rows = new_rows.join(
                     prior, on="content_hash", how="left_anti"
                 )
+            # persist: the corpus append and the sidecar append must not
+            # each re-run the window + anti-join + artifact-scan lineage
+            new_rows = new_rows.persist()
             new_rows.write.partitionBy("hash_bucket").mode("append").parquet(
                 artifact
             )
             new_rows.select("content_hash", "hash_bucket").write.partitionBy(
                 "hash_bucket"
             ).mode("append").parquet(sidecar)
+            new_rows.unpersist()
         finally:
             uniq.unpersist()
 

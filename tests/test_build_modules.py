@@ -923,3 +923,90 @@ def test_stream_document_deltas_replay_idempotent(spark, tmp_path):
         q2.stop()
     corpus = spark.read.parquet(f"{out}/corpus.parquet")
     assert corpus.count() == 1  # not duplicated despite lost sidecar
+
+
+def test_stream_survives_first_append_crash_debris(spark, tmp_path):
+    """A crash during the FIRST artifact append leaves a dir holding only
+    the committer's _temporary scratch; the next batch must treat it as
+    absent (read would throw), not poison the stream forever."""
+    from ploverdb_spark.streaming.incremental import stream_document_deltas
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = tmp_path / "out"
+    # simulate the debris BEFORE any batch runs
+    debris = out / "corpus.parquet" / "_temporary" / "0"
+    debris.mkdir(parents=True)
+    (debris / "task_000").write_text("scratch")
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    (drop / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "alpha"}) + "\n"
+    )
+    q = stream_document_deltas(
+        spark, str(drop), schema, str(out), checkpoint_dir=str(tmp_path / "c")
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = spark.read.parquet(f"{out}/corpus.parquet").where(
+        "doc_id is not null"
+    )
+    assert got.count() == 1
+
+
+def test_stream_edge_replay_restores_missing_direction_row(spark, tmp_path):
+    """Partial job commit: the forward row of an edge landed, the reverse
+    row did not.  Replay must append the MISSING direction row (anti-join
+    keys on (id, direction), not id alone)."""
+    from ploverdb_spark.streaming import incremental as inc
+
+    nodes = spark.createDataFrame(
+        [("A:1", ["biolink:Gene"]), ("A:2", ["biolink:Disease"])],
+        "id string, categories array<string>",
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = tmp_path / "out"
+    schema = spark.createDataFrame(
+        [], "id string, subject string, object string, predicate string"
+    ).schema
+    (drop / "b1.jsonl").write_text(
+        json.dumps({"id": "e1", "subject": "A:1", "object": "A:2",
+                    "predicate": "biolink:treats"}) + "\n"
+    )
+    q = inc.stream_edge_deltas(
+        spark, str(drop), schema, str(out), nodes,
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    art = f"{out}/edges_bidir.parquet"
+    full = spark.read.parquet(art)
+    assert full.count() == 2
+    # simulate the partial commit: rewrite with only ONE direction row,
+    # and lose the sidecar append too
+    one_dir = full.orderBy("direction").limit(1).collect()
+    kept_direction = one_dir[0]["direction"]
+    spark.createDataFrame(one_dir, full.schema).write.partitionBy(
+        "id_bucket"
+    ).mode("overwrite").parquet(f"{art}.tmp2")
+    import shutil
+    shutil.rmtree(art)
+    shutil.move(f"{art}.tmp2", art)
+    shutil.rmtree(f"{out}/edge_ids_seen.parquet")
+    # redeliver the same file (fresh checkpoint)
+    q2 = inc.stream_edge_deltas(
+        spark, str(drop), schema, str(out), nodes,
+        checkpoint_dir=str(tmp_path / "c2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = spark.read.parquet(art)
+    dirs = sorted(r["direction"] for r in after.select("direction").collect())
+    assert len(dirs) == 2 and dirs[0] != dirs[1], (kept_direction, dirs)

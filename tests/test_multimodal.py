@@ -185,3 +185,59 @@ def test_resize_nearest_on_decoded_png():
     out = resize_nearest(samples, w, h, ch, 2, 1)
     # sx = x*4//2 -> pixels 0 and 2 of source row 0 (sy = 0*2//1 = 0)
     assert bytes(out) == bytes([0, 0, 0, 20, 0, 0])
+
+
+def test_hostile_bmp_header_degrades_not_oom():
+    """A 60-byte payload claiming 2^20 x 2^20 pixels must degrade to the
+    hash stub per record — never allocate terabytes / kill the task."""
+    import struct as _s
+
+    from ploverdb_spark.operators.multimodal import (
+        decode_media,
+        image_header_dims,
+        try_decode_image,
+    )
+
+    hdr = bytearray(60)
+    hdr[0:2] = b"BM"
+    hdr[10:14] = _s.pack("<I", 54)          # pixel offset
+    hdr[18:26] = _s.pack("<ii", 1 << 20, 1 << 20)
+    hdr[28:30] = _s.pack("<H", 24)
+    hdr[30:34] = _s.pack("<I", 0)
+    payload = bytes(hdr)
+    assert image_header_dims(payload) is None
+    assert try_decode_image(payload) is None
+    d = decode_media(payload, "image")
+    assert d == _fake_decode(payload, "image")
+
+
+def test_png_bomb_header_degrades():
+    """A tiny PNG claiming enormous dims is rejected BEFORE inflating."""
+    from ploverdb_spark.operators.multimodal import decode_png, decode_media
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="over cap"):
+        decode_png(png)
+    # metadata extraction is O(header): it reports the claimed dims
+    # WITHOUT allocating pixel buffers (the cap protects pixel consumers)
+    assert decode_media(png, "image")["width"] == 1 << 16
+    from ploverdb_spark.operators.multimodal import try_decode_image
+
+    assert try_decode_image(png) is None  # pixel path refuses the bomb
+
+
+def test_decode_media_header_only_reports_real_dims():
+    """Feature extraction is O(header): real dims come out without the
+    pixel loop, and sha/n_bytes still describe the payload."""
+    from ploverdb_spark.operators.multimodal import decode_media
+
+    png = make_png(6, 3, bytes(range(6 * 3 * 3)), color_type=2)
+    d = decode_media(png, "image")
+    assert (d["width"], d["height"]) == (6, 3)
+    assert d["n_bytes"] == len(png)
