@@ -141,6 +141,7 @@ class KpRegistry:
         self._engines: dict[str, TrapiEngine] = {}
         self._logs: dict[str, deque] = {}
         self._meta_cache: dict[str, dict] = {}
+        self._build_node_cache: dict[str, dict | None] = {}
         # /debug/last cache (reference main.py:35-36, 526-527): refreshed
         # by every /debug call; the per-query stats are refreshed by every
         # handled query.
@@ -222,7 +223,26 @@ class KpRegistry:
         normally."""
         self._engines[name] = engine
         self._meta_cache.pop(name, None)
+        self._build_node_cache.pop(name, None)
         self._logs.setdefault(name, deque(maxlen=LOG_TAIL_MAX))
+
+    def build_node(self, name: str) -> dict | None:
+        """The endpoint's P9 build-provenance node (reference
+        ``node_lookup_map["PloverDB"]``), cached after the first fetch so
+        ``/code_version`` costs one tiny pruned scan per KP per process."""
+        if name not in self._build_node_cache:
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.engine(name)
+                .kg.nodes.where(F.col("id") == "ploverdb_spark:build")
+                .limit(1)
+                .collect()
+            )
+            self._build_node_cache[name] = (
+                rows[0].asDict(recursive=True) if rows else None
+            )
+        return self._build_node_cache[name]
 
     def log(self, name: str | None, entry: Any) -> None:
         key = name or self.default_endpoint
@@ -436,6 +456,32 @@ def _rebuild(registry: KpRegistry, payload: dict, endpoint: str | None) -> dict:
     }
 
 
+def _code_info(code_version: str) -> str:
+    """Reference main.py:587-616 format: ``HEAD: <branch> (<sha>);
+    Date: <YYYY-MM-DD ...>`` from the deploy checkout, degrading to the
+    configured version string (with today's date) when no git repo is
+    discoverable — the endpoint must answer either way."""
+    import datetime
+    import subprocess
+
+    try:
+        def _git(*args: str) -> str:
+            out = subprocess.run(
+                ["git", *args], capture_output=True, text=True, timeout=5
+            )
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr.strip())
+            return out.stdout.strip()
+
+        branch = _git("rev-parse", "--abbrev-ref", "HEAD")
+        sha = _git("rev-parse", "--short", "HEAD")
+        date = _git("show", "-s", "--format=%cs", "HEAD")
+        return f"HEAD: {branch} ({sha}); Date: {date}"
+    except Exception:
+        today = datetime.date.today().isoformat()
+        return f"HEAD: {code_version}; Date: {today}"
+
+
 def handle(
     registry: KpRegistry,
     path: str,
@@ -537,9 +583,17 @@ def handle(
         if path == "healthcheck":
             return 200, ""
         if path == "code_version":
+            # Reference main.py:579-630 shape: code_info carries
+            # "HEAD: <branch> (<sha>); Date: <date>" (graceful fallback
+            # when no git repo is discoverable), endpoint_build_nodes maps
+            # each hosted KP to its build-provenance node (the P9
+            # synthetic node, reference node_lookup_map["PloverDB"]).
             return 200, {
-                "code_info": code_version,
-                "endpoints": sorted(registry._engines),
+                "code_info": _code_info(code_version),
+                "endpoint_build_nodes": {
+                    name: registry.build_node(name)
+                    for name in sorted(registry._engines)
+                },
             }
         if path == "get_logs":
             return 200, registry.log_tail(

@@ -114,8 +114,15 @@ def test_sri_test_triples_endpoint(registry):
 
 def test_ops_endpoints(registry):
     assert handle(registry, "healthcheck")[0] == 200
+    # ref test_non_query_commands.py:15-40 payload shape
     status, body = handle(registry, "code_version")
-    assert status == 200 and body["endpoints"] == ["graft"]
+    assert status == 200
+    assert set(body) >= {"code_info", "endpoint_build_nodes"}
+    import re
+
+    assert "HEAD:" in body["code_info"]
+    assert re.search(r"\bDate:\s*\d{4}-\d{2}-\d{2}\b", body["code_info"])
+    assert set(body["endpoint_build_nodes"]) == {"graft"}
     status, logs = handle(registry, "get_logs", {"num_lines": 5})
     assert status == 200 and isinstance(logs, list)
 
