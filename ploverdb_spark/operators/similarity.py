@@ -197,7 +197,15 @@ def ivf_topk(
 
     At 100 TB: centroids are broadcast (K x dim doubles), the candidate
     join is an equi-join on the cell id — candidate volume is
-    |query| x |cell| instead of |query| x |corpus|.
+    |query| x |cell| instead of |query| x |corpus|.  Store the corpus
+    PARTITIONED BY the cell column and Spark's dynamic partition pruning
+    turns this broadcast join into a probed-cells-only scan at runtime —
+    the whole routing + pruning stays ONE lazy plan.  (Collecting the
+    routing driver-side and pushing a literal cell IN was tried and
+    measured SLOWER: it splits the query into three actions whose
+    scheduling overhead exceeds the scan savings on anything but a
+    cell-partitioned store, where DPP already gets the same pruning for
+    free.)
     """
     centroids = ivf_centroids(embeddings, cell_col, vec_col)
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
