@@ -219,3 +219,35 @@ def test_cap_per_domain_matches_exact_rank(spark, rows, cap):
         .select("doc_id", "source")
     )
     assert got == sorted(map(tuple, exact.collect()))
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(
+                st.floats(
+                    min_value=-50, max_value=50,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_quantize_embeddings_roundtrip_property(spark, rows):
+    """For any float32 vectors: q stays in int8 range, scale is the
+    per-vector abs-max, and reconstruction error respects the symmetric
+    quantizer's bound (scale / 254)."""
+    from ploverdb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_embeddings(df).collect():
+        assert len(r.q) == r.n_dims == 4
+        assert all(-127 <= c <= 127 for c in r.q)
+        assert r.max_abs_err <= r.scale / 254 + 1e-9
