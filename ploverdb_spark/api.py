@@ -456,18 +456,32 @@ def _rebuild(registry: KpRegistry, payload: dict, endpoint: str | None) -> dict:
     }
 
 
+_CODE_INFO_CACHE: dict[str, str] = {}
+
+
 def _code_info(code_version: str) -> str:
     """Reference main.py:587-616 format: ``HEAD: <branch> (<sha>);
-    Date: <YYYY-MM-DD ...>`` from the deploy checkout, degrading to the
-    configured version string (with today's date) when no git repo is
-    discoverable — the endpoint must answer either way."""
+    Date: <YYYY-MM-DD ...>`` from the deploy checkout (git queried in
+    THIS package's directory, not the process cwd — a server launched
+    from some unrelated repo must not report that repo's HEAD as deploy
+    provenance), degrading to the configured version string (with
+    today's date) when no repo is discoverable.  Cached per process —
+    the checkout can't change under a running server."""
+    if code_version in _CODE_INFO_CACHE:
+        return _CODE_INFO_CACHE[code_version]
     import datetime
+    import os
     import subprocess
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
         def _git(*args: str) -> str:
             out = subprocess.run(
-                ["git", *args], capture_output=True, text=True, timeout=5
+                ["git", *args],
+                capture_output=True,
+                text=True,
+                timeout=5,
+                cwd=repo_dir,
             )
             if out.returncode != 0:
                 raise RuntimeError(out.stderr.strip())
@@ -476,10 +490,12 @@ def _code_info(code_version: str) -> str:
         branch = _git("rev-parse", "--abbrev-ref", "HEAD")
         sha = _git("rev-parse", "--short", "HEAD")
         date = _git("show", "-s", "--format=%cs", "HEAD")
-        return f"HEAD: {branch} ({sha}); Date: {date}"
+        info = f"HEAD: {branch} ({sha}); Date: {date}"
     except Exception:
         today = datetime.date.today().isoformat()
-        return f"HEAD: {code_version}; Date: {today}"
+        info = f"HEAD: {code_version}; Date: {today}"
+    _CODE_INFO_CACHE[code_version] = info
+    return info
 
 
 def handle(

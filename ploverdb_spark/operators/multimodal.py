@@ -101,6 +101,55 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _parse_png_ihdr(data: bytes) -> tuple[int, int, int]:
+    """Validated (width, height, channels) from a PNG's IHDR (always the
+    first chunk per spec) — the ONE header parser shared by the full
+    decoder and the header-only metadata path, so the two can't drift.
+    Raises ``ValueError`` for anything outside the supported envelope
+    (bit depth 8, known color type, non-interlaced, positive dims)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    if data[12:16] != b"IHDR" or len(data) < 29:
+        raise ValueError("IHDR not first chunk")
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNG dimensions")
+    return width, height, _PNG_CHANNELS[color]
+
+
+def _parse_bmp_header(data: bytes) -> tuple[int, int, int, int, bool, int]:
+    """Validated (pixel_off, width, height, channels, top_down,
+    row_padded) from a BMP's file+info headers, shared by the full
+    decoder and the header-only path.  Proves the claimed pixel data fits
+    the payload BEFORE any caller allocates from these dims."""
+    if data[:2] != b"BM" or len(data) <= 34:
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    width, height_raw = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    channels = bpp // 8
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive BMP dimensions")
+    row_bytes = width * channels
+    row_padded = (row_bytes + 3) & ~3
+    if pixel_off + (height - 1) * row_padded + row_bytes > len(data):
+        raise ValueError("BMP pixel data exceeds payload")
+    return pixel_off, width, height, channels, top_down, row_padded
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytearray, int]:
     """Pure-Python PNG decode: chunk walk, IHDR parse, concatenated-IDAT
     zlib inflate, per-scanline unfilter (filter types 0-4 including
@@ -113,9 +162,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytearray, int]:
     (``height * width * channels`` values) — real pixels, so callers can
     compute channel statistics.
     """
-    if data[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos, width, height, channels = 8, None, None, None
+    width, height, channels = _parse_png_ihdr(data)
+    pos = 8
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -123,24 +171,13 @@ def decode_png(data: bytes) -> tuple[int, int, bytearray, int]:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError("truncated chunk")
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color not in _PNG_CHANNELS:
-                raise ValueError(f"unsupported color type {color}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
+        if ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + body + crc
-    if width is None or not idat:
-        raise ValueError("missing IHDR or IDAT")
+    if not idat:
+        raise ValueError("missing IDAT")
     stride = width * channels
     expected = height * (stride + 1)
     if expected > MAX_DECODED_BYTES:
@@ -192,25 +229,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytearray, int]:
     uncompressed 24/32-bpp, bottom-up or top-down row order.  Returns
     ``(width, height, raw_samples, channels)`` with rows re-ordered
     top-down and samples in BGR(A) order as stored."""
-    if data[:2] != b"BM":
-        raise ValueError("not a BMP")
-    (pixel_off,) = struct.unpack("<I", data[10:14])
-    width, height_raw = struct.unpack("<ii", data[18:26])
-    (bpp,) = struct.unpack("<H", data[28:30])
-    (compression,) = struct.unpack("<I", data[30:34])
-    if compression != 0 or bpp not in (24, 32):
-        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
-    top_down = height_raw < 0
-    height = abs(height_raw)
-    channels = bpp // 8
-    if width <= 0 or height <= 0:
-        raise ValueError("non-positive BMP dimensions")
+    pixel_off, width, height, channels, top_down, row_padded = (
+        _parse_bmp_header(data)
+    )
     row_bytes = width * channels
-    row_padded = (row_bytes + 3) & ~3
-    # header dims are untrusted: prove the payload actually carries the
-    # claimed pixel data BEFORE allocating height*row_bytes
-    if pixel_off + (height - 1) * row_padded + row_bytes > len(data):
-        raise ValueError("BMP pixel data exceeds payload")
     if height * row_bytes > MAX_DECODED_BYTES:
         raise ValueError("decoded size over cap")
     out = bytearray(height * row_bytes)
@@ -224,9 +246,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytearray, int]:
     return width, height, out, channels
 
 
-def _image_features(
-    payload: bytes, width: int, height: int, samples: bytearray | None
-) -> dict[str, Any]:
+def _image_features(payload: bytes, width: int, height: int) -> dict[str, Any]:
     return {
         "n_bytes": len(payload),
         "sha_prefix": hashlib.sha256(payload).hexdigest()[:12],
@@ -247,25 +267,10 @@ def image_header_dims(payload: bytes) -> tuple[int, int] | None:
     over a 100 TB archive must be O(header), not O(pixels)."""
     try:
         if payload[:8] == PNG_MAGIC:
-            if payload[12:16] != b"IHDR" or len(payload) < 29:
-                return None
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload[16:29]
-            )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
-                return None
+            w, h, _ch = _parse_png_ihdr(payload)
             return w, h
         if payload[:2] == b"BM" and len(payload) > 34:
-            (pixel_off,) = struct.unpack("<I", payload[10:14])
-            w, h_raw = struct.unpack("<ii", payload[18:26])
-            (bpp,) = struct.unpack("<H", payload[28:30])
-            (compression,) = struct.unpack("<I", payload[30:34])
-            h = abs(h_raw)
-            if compression != 0 or bpp not in (24, 32) or w <= 0 or h <= 0:
-                return None
-            row_padded = (w * (bpp // 8) + 3) & ~3
-            if pixel_off + (h - 1) * row_padded + w * (bpp // 8) > len(payload):
-                return None
+            _off, w, h, _ch, _td, _rp = _parse_bmp_header(payload)
             return w, h
     except DECODE_ERRORS:
         pass
@@ -298,7 +303,7 @@ def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
     loop runs solely where pixels are consumed (:func:`resize_media`)."""
     dims = image_header_dims(payload)
     if dims is not None:
-        return _image_features(payload, dims[0], dims[1], None)
+        return _image_features(payload, dims[0], dims[1])
     return _fake_decode(payload, media_type)
 
 
@@ -418,10 +423,13 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
     """Thumbnail-resize plumbing over a media table: decode dims (real
     PNG/BMP or the deterministic stub), compute the aspect-preserving
     ``max_dim`` fit, and report input/output geometry + output payload
-    size.  The pixel work (``resize_nearest``) runs only for genuinely
-    decodable payloads; stub-decoded rows carry geometry math alone —
-    exactly the split a 100 TB thumbnail job has (decode errors must
-    degrade per record, never fail the stage).
+    size.  Decodable payloads additionally carry ``thumb_sha`` — a
+    digest of the ACTUAL resized pixel bytes (the artifact a real
+    thumbnail job ships; verified against known fixtures in tests).
+    Header-parsable but pixel-undecodable payloads (over the decode cap,
+    corrupt pixel data) keep their real header geometry with a null
+    digest; only headerless payloads degrade to the hash stub —
+    per-record, never failing the stage.
 
     Same Arrow ``mapInPandas`` shape as :func:`extract_media_features`:
     payload column dropped from the output so downstream stages never
@@ -436,17 +444,29 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
             ):
                 payload = bytes(payload)
                 decoded = try_decode_image(payload)
+                thumb_sha = None
                 if decoded is not None:
                     w, h, px, ch = decoded
                     ow, oh = fit_within(w, h, max_dim)
                     resized = resize_nearest(px, w, h, ch, ow, oh)
                     n_out = len(resized)
+                    thumb_sha = hashlib.sha256(bytes(resized)).hexdigest()[:12]
                 else:
-                    d = _fake_decode(payload, str(mtype))
-                    w, h, ch = d["width"], d["height"], 3
+                    # header-parsable but pixel-undecodable (over the
+                    # decode cap, corrupt IDAT): geometry from the REAL
+                    # header so this operator and decode_media agree on
+                    # the same payload's dims; only headerless payloads
+                    # fall to the hash stub
+                    dims = image_header_dims(payload)
+                    if dims is not None:
+                        w, h = dims
+                        ch = 3
+                    else:
+                        d = _fake_decode(payload, str(mtype))
+                        w, h, ch = d["width"], d["height"], 3
                     ow, oh = fit_within(w, h, max_dim)
                     n_out = ow * oh * ch
-                rows.append((mid, w, h, ow, oh, n_out))
+                rows.append((mid, w, h, ow, oh, n_out, thumb_sha))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -456,6 +476,7 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                     "out_width",
                     "out_height",
                     "n_out_bytes",
+                    "thumb_sha",
                 ],
             )
 
@@ -463,5 +484,5 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
     return pruned.mapInPandas(
         batches,
         schema="media_id long, width int, height int, "
-        "out_width int, out_height int, n_out_bytes long",
+        "out_width int, out_height int, n_out_bytes long, thumb_sha string",
     )

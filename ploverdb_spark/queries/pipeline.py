@@ -1050,7 +1050,8 @@ def d7_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END
               * CASE WHEN m <= 64 THEN height
                      ELSE GREATEST(1, CAST(FLOOR(height * 64.0 / m) AS INTEGER))
-                END * 3 AS BIGINT) AS n_out_bytes
+                END * 3 AS BIGINT) AS n_out_bytes,
+           CAST(NULL AS VARCHAR) AS thumb_sha
     FROM f
     """,
     doc="Thumbnail-resize plumbing: decode dims -> aspect-preserving "

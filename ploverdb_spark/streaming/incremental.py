@@ -525,13 +525,17 @@ def stream_document_deltas(
             # persist: the corpus append and the sidecar append must not
             # each re-run the window + anti-join + artifact-scan lineage
             new_rows = new_rows.persist()
-            new_rows.write.partitionBy("hash_bucket").mode("append").parquet(
-                artifact
-            )
-            new_rows.select("content_hash", "hash_bucket").write.partitionBy(
-                "hash_bucket"
-            ).mode("append").parquet(sidecar)
-            new_rows.unpersist()
+            try:
+                new_rows.write.partitionBy("hash_bucket").mode(
+                    "append"
+                ).parquet(artifact)
+                new_rows.select(
+                    "content_hash", "hash_bucket"
+                ).write.partitionBy("hash_bucket").mode("append").parquet(
+                    sidecar
+                )
+            finally:
+                new_rows.unpersist()
         finally:
             uniq.unpersist()
 

@@ -241,3 +241,60 @@ def test_decode_media_header_only_reports_real_dims():
     d = decode_media(png, "image")
     assert (d["width"], d["height"]) == (6, 3)
     assert d["n_bytes"] == len(png)
+
+
+def test_zero_dim_png_degrades():
+    """width=0 / height=0 PNGs must be rejected by header AND decoder —
+    previously they decoded to empty pixels and produced corrupt resize
+    geometry."""
+    from ploverdb_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        image_header_dims,
+        try_decode_image,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 0, 100, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    assert image_header_dims(png) is None
+    assert try_decode_image(png) is None
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_png(png)
+    assert decode_media(png, "image") == _fake_decode(png, "image")
+
+
+def test_resize_media_thumb_sha_through_spark(spark):
+    """Decodable payloads carry a digest of the actual resized pixels;
+    header-parsable-but-undecodable and stub payloads carry null."""
+    import hashlib
+
+    from ploverdb_spark.operators.multimodal import (
+        decode_png,
+        fit_within,
+        resize_media,
+        resize_nearest,
+    )
+
+    png = make_png(8, 4, bytes(range(8 * 4 * 3)))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image", ("t", "png")),
+            (2, bytearray(b"opaque payload"), "image", ("t", "txt")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<source:string, declared_format:string>",
+    )
+    rows = {r.media_id: r for r in resize_media(media, max_dim=4).collect()}
+    w, h, px, ch = decode_png(png)
+    ow, oh = fit_within(w, h, 4)
+    expect = hashlib.sha256(
+        bytes(resize_nearest(px, w, h, ch, ow, oh))
+    ).hexdigest()[:12]
+    assert rows[1].thumb_sha == expect
+    assert (rows[1].out_width, rows[1].out_height) == (ow, oh)
+    assert rows[2].thumb_sha is None

@@ -246,8 +246,17 @@ def test_quantize_embeddings_roundtrip_property(spark, rows):
     quantizer's bound (scale / 254)."""
     from ploverdb_spark.operators.similarity import quantize_embeddings
 
+    import numpy as _np
+
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # the returned scale is rounded to 6dp; bound against the TRUE scale
+    # recomputed from the float32 input (rounding makes scale/254 unsound
+    # for tiny-magnitude vectors)
+    true_scale = {
+        i: max((abs(float(_np.float32(x))) for x in v), default=0.0) or 1.0
+        for i, v in rows
+    }
     for r in quantize_embeddings(df).collect():
         assert len(r.q) == r.n_dims == 4
         assert all(-127 <= c <= 127 for c in r.q)
-        assert r.max_abs_err <= r.scale / 254 + 1e-9
+        assert r.max_abs_err <= true_scale[r.vec_id] / 254 + 1e-9
