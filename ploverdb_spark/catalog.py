@@ -105,6 +105,7 @@ _EMIT_FIRST = (
     "d7_edit_distance_verify",
     "m3_resize_dims",
     "t6_repetition_scores",
+    "c7_training_mix",
     "j12_asof_last_order",
     "s5_ivf_multiprobe",
     "c2_decontamination",

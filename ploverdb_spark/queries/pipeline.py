@@ -1121,3 +1121,109 @@ def t6_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.repetition_scores(docs)
+
+
+@register(
+    "c7_training_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source, {_TOKENS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             ROUND(0.4 * (len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x)))
+                     / GREATEST(len(toks), 1))
+                 + 0.3 * (1.0 - (length(text)
+                     - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     / GREATEST(length(text), 1))
+                 + 0.3 * LEAST((length(regexp_replace(text, '\\s+', '', 'g'))
+                     / GREATEST(len(toks), 1)) / 10.0, 1.0), 6)
+               AS quality_score
+      FROM t
+    ), clean AS (
+      SELECT t.doc_id, t.lang, t.source, t.toks, s.n_tokens
+      FROM t JOIN s USING (doc_id)
+      WHERE s.quality_score >= 0.4 AND s.n_tokens >= 20
+    ), samp AS (
+      SELECT * FROM clean
+      WHERE {_U_STRAT} < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END
+    ), n AS (
+      SELECT source, count(*) AS __n FROM samp GROUP BY source
+    ), g AS (
+      SELECT samp.*, {_U_DOMCAP} AS __u, n.__n
+      FROM samp JOIN n USING (source)
+      WHERE {_U_DOMCAP} * n.__n < 60.0
+    ), r AS (
+      SELECT g.*, row_number() OVER (
+        PARTITION BY source ORDER BY __u, doc_id) AS rn
+      FROM g
+    ), capped AS (
+      SELECT doc_id, toks, n_tokens FROM r WHERE rn <= 15
+    ), bg AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      FROM capped
+    ), u AS (
+      SELECT doc_id, unnest(bigrams) AS b2 FROM bg
+    ), c AS (
+      SELECT doc_id, b2, count(*) AS cnt FROM u GROUP BY doc_id, b2
+    ), mx AS (
+      SELECT doc_id, max(cnt) AS topc FROM c GROUP BY doc_id
+    ), calm AS (
+      SELECT capped.doc_id, capped.n_tokens
+      FROM capped
+      JOIN bg USING (doc_id)
+      LEFT JOIN mx USING (doc_id)
+      WHERE ROUND(COALESCE(mx.topc, 0)
+                  / GREATEST(len(bg.bigrams), 1), 6) < 0.3
+    ), p0 AS (
+      SELECT doc_id,
+             CAST({_hex4(_MD5_ID)} % 8 AS BIGINT) AS shard,
+             CAST(n_tokens AS INTEGER) AS n_tokens
+      FROM calm
+    ), p AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum
+      FROM p0
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum // 256 AS seq_idx,
+           cum % 256 AS seq_offset,
+           (cum % 256) + n_tokens > 256 AS straddles
+    FROM p
+    """,
+    doc="The flagship end-to-end training-mix pipeline in ONE declarative "
+    "plan: quality/length filter -> deterministic language rebalance "
+    "(en x0.5) -> per-domain cap (15, gated two-phase) -> repetition "
+    "filter (top-bigram < 0.3) -> concat-and-chunk packing into 256-token "
+    "sequences. Five operator families composing lazily; Catalyst sees "
+    "the whole chain and every stage stays shuffle-bounded.",
+)
+def c7_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators import packing as P
+
+    docs = load(spark, sf_dir, "documents")
+    feats = T.text_features(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    clean = (
+        docs.join(feats, "doc_id")
+        .where((F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20))
+        .select(*docs.columns)
+    )
+    samp = P.stratified_sample(clean, {"en": 0.5})
+    capped = P.cap_per_domain(samp, cap=15)
+    rep = T.repetition_scores(capped).select("doc_id", "top_bigram_frac")
+    calm = (
+        capped.join(rep, "doc_id")
+        .where(F.col("top_bigram_frac") < 0.3)
+        .select(*capped.columns)
+    )
+    return P.pack_sequences(calm, seq_len=256)
