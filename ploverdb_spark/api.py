@@ -460,18 +460,21 @@ _CODE_INFO_CACHE: dict[str, str] = {}
 
 
 def _code_info(code_version: str) -> str:
-    """Reference main.py:587-616 format: ``HEAD: <branch> (<sha>);
-    Date: <YYYY-MM-DD ...>`` from the deploy checkout (git queried in
-    THIS package's directory, not the process cwd — a server launched
-    from some unrelated repo must not report that repo's HEAD as deploy
-    provenance), degrading to the configured version string (with
-    today's date) when no repo is discoverable.  Cached per process —
-    the checkout can't change under a running server."""
+    """Reference main.py:600-621 string layout, byte-for-byte: ``HEAD:
+    <branch-or-DETACHED>; Commit: <sha7>; Timestamp: <utc-iso>Z (<pt>)``
+    with commit time rendered in UTC and America/Los_Angeles, and the
+    exact fallback ``git repo not found`` — clients that parse the
+    reference's code_info string keep working.  Git is queried in THIS
+    package's directory, not the process cwd (a server launched from an
+    unrelated repo must not report that repo's HEAD as deploy
+    provenance).  Cached per process — the checkout can't change under a
+    running server."""
     if code_version in _CODE_INFO_CACHE:
         return _CODE_INFO_CACHE[code_version]
     import datetime
     import os
     import subprocess
+    from zoneinfo import ZoneInfo
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -488,12 +491,23 @@ def _code_info(code_version: str) -> str:
             return out.stdout.strip()
 
         branch = _git("rev-parse", "--abbrev-ref", "HEAD")
-        sha = _git("rev-parse", "--short", "HEAD")
-        date = _git("show", "-s", "--format=%cs", "HEAD")
-        info = f"HEAD: {branch} ({sha}); Date: {date}"
+        if branch == "HEAD":  # rev-parse reports literal HEAD when detached
+            branch = "DETACHED"
+        sha = _git("rev-parse", "--short=7", "HEAD")
+        commit_dt = datetime.datetime.fromtimestamp(
+            int(_git("show", "-s", "--format=%ct", "HEAD")),
+            tz=datetime.timezone.utc,
+        )
+        timestamp_utc = commit_dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        timestamp_pt = commit_dt.astimezone(
+            ZoneInfo("America/Los_Angeles")
+        ).strftime("%Y-%m-%d %H:%M:%S %Z")
+        info = (
+            f"HEAD: {branch}; Commit: {sha}; "
+            f"Timestamp: {timestamp_utc} ({timestamp_pt})"
+        )
     except Exception:
-        today = datetime.date.today().isoformat()
-        info = f"HEAD: {code_version}; Date: {today}"
+        info = "git repo not found"
     _CODE_INFO_CACHE[code_version] = info
     return info
 

@@ -86,41 +86,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is larger, silently
-# dropping the tail — so front-load the entries that most need a fresh
-# row.  Round 4 rotation: the four entries past the r03 cap
-# (a3_meta_nodes, w1/w2/w3 — last proven green in r02) come first so they
-# re-prove, followed by this round's newest additions.  NOTE to driver
-# maintainers: the emitter should assert emitted-row count ==
-# len(all_oracles()) instead of relying on this ordering.
+# emits at most 50 correctness rows while the catalog is 62 — so
+# front-load the entries that most need a fresh row.  Round 5 rotation:
+# the 12 relational entries dropped by the r04 cap come back first (two
+# rounds stale otherwise), then c6 (its q column is now a scalar q_csv —
+# the r04 red row must re-prove), then the entries whose implementing
+# modules changed this round (similarity/dedup cosine guards, multimodal
+# decode routing).  NOTE to driver maintainers: the emitter should assert
+# emitted-row count == len(all_oracles()) instead of relying on this
+# ordering.
 _EMIT_FIRST = (
-    "a3_meta_nodes",
-    "w1_sessionize",
-    "w2_rollup_orders",
-    "w3_value_deltas",
-    "c3_sequence_packing",
-    "c4_stratified_sample",
-    "c5_domain_cap",
-    "c6_embedding_quantization",
-    "d7_edit_distance_verify",
-    "m3_resize_dims",
-    "t6_repetition_scores",
-    "c7_training_mix",
-    "j12_asof_last_order",
-    "s5_ivf_multiprobe",
-    "c2_decontamination",
-    "t5_pii_scan",
-)
-
-
-# Emitted LAST: pure-relational entries from queries/relational.py, a
-# module untouched since round 2 — when the driver's 50-row cap truncates
-# the catalog, these are the safest rows to lose (their last green row
-# still describes the current code).  Entries exercising this round's
-# changed modules (query/compiler.py, query/response.py,
-# query/constraints.py, operators/*) must stay inside the emitted window.
-_EMIT_LAST = (
-    "a2_test_triples",  # build/meta_kg.py, untouched since round 2
+    "a2_test_triples",
     "a1_pricing_summary",
     "j2_region_revenue",
     "j1_customers_without_orders",
@@ -132,6 +108,39 @@ _EMIT_LAST = (
     "f1_event_type_stats",
     "j3_doubly_pinned",
     "j11_order_parts",
+    "c6_embedding_quantization",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "s3_kmeans_cells",
+    "s4_ivf_recall",
+    "s5_ivf_multiprobe",
+    "d5_embedding_neardup",
+    "d2_minhash_lsh_pairs",
+    "d6_dup_groups",
+    "m1_media_features",
+    "m2_frame_samples",
+)
+
+
+# Emitted LAST: proven green in r04 AND implemented in modules with no
+# round-5 commits (queries/windows.py, operators/packing.py,
+# operators/text.py, build/meta_kg.py) — when the driver's 50-row cap
+# truncates the catalog, these are the safest rows to lose (their last
+# green row still describes the current code).  Entries exercising this
+# round's changed modules must stay inside the emitted window.
+_EMIT_LAST = (
+    "w1_sessionize",
+    "w2_rollup_orders",
+    "w3_value_deltas",
+    "j12_asof_last_order",
+    "a3_meta_nodes",
+    "c3_sequence_packing",
+    "c4_stratified_sample",
+    "c5_domain_cap",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
 )
 
 

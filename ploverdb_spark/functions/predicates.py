@@ -19,6 +19,8 @@ py4j calls to O(1).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,7 +50,13 @@ def in_predicate(col_name: str, values) -> Column:
     if all(isinstance(v, str) for v in vals):
         rendered = ", ".join(sql_string_literal(v) for v in vals)
     elif all(
-        isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        # repr(nan)/repr(inf) parse as bare identifiers and fail analysis;
+        # route non-finite floats through the isin fallback, which builds
+        # proper float literals
+        and (isinstance(v, int) or math.isfinite(v))
+        for v in vals
     ):
         rendered = ", ".join(repr(v) for v in vals)
     else:

@@ -4,16 +4,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_DEFAULT_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _size_suffix_to_bytes(v: str) -> int:
+    """Parse Spark size-conf strings ('134217728', '134217728b', '128MB')."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
 
 def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the input has fewer partitions than the
-    cluster has cores.  CPU-bound projections (md5 shingle hashing, Arrow
-    cosine batches) over a small parquet input arrive as 1-2 splits —
-    without this, 2 of 32 cores do all the compute (measured: 2.3s ->
-    1.6s for the LSH pair plan at sf0.1).  At real scale the input
-    already has more splits than cores and this is a no-op — the
-    condition, not the repartition, is the scale story."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    """Round-robin repartition a *small* input so a CPU-bound projection
+    uses every core.
+
+    OPT-IN: call this only where the downstream work is CPU-heavy per
+    input byte (md5 shingle hashing over token arrays, pixel decode) —
+    for cheap projections the shuffle costs more than the parallelism
+    buys (round-4 bench: the similarity family regressed 1.6-1.8x when
+    this wrapped a plain Arrow-cosine scan, so those call sites dropped
+    it).
+
+    The gate uses Catalyst's size estimate (``optimizedPlan().stats()``
+    — a plan-time constant, no job, no plan-to-RDD conversion like the
+    old ``df.rdd.getNumPartitions()`` probe): if the estimated input is
+    already large enough that the scan will emit >= target splits
+    (``target * spark.sql.files.maxPartitionBytes``), the repartition is
+    skipped.  At real scale the input always clears that bar, so this is
+    a no-op there — the condition, not the repartition, is the scale
+    story.  (Measured at sf0.1: 2.3s -> 1.6s for the LSH pair plan.)
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_split = _size_suffix_to_bytes(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_SPLIT_BYTES)
+            )
+        )
+    except Exception:  # stats unavailable -> assume narrow, keep old behavior
         return df.repartition(target)
-    return df
+    if est_bytes >= target * max_split:
+        return df
+    return df.repartition(target)

@@ -474,7 +474,10 @@ def quantized_cosine_udf():
         dots = (Aq * Bq).sum(axis=1).astype(np.float64)
         na = np.sqrt((Aq * Aq).sum(axis=1).astype(np.float64))
         nb = np.sqrt((Bq * Bq).sum(axis=1).astype(np.float64))
-        return pd.Series(dots / (na * nb))
+        # zero-norm mask: 0/0 is NaN and NaN sorts ABOVE every number in
+        # Spark, so a degenerate vector would near-dup everything
+        den = na * nb
+        return pd.Series(np.where(den == 0, 0.0, dots / np.where(den == 0, 1.0, den)))
 
     return qcos
 
@@ -533,7 +536,10 @@ def embedding_near_dups(
         G = Q @ Q.T
         norms = np.sqrt(np.diag(G).astype(np.float64))
         iu, ju = np.triu_indices(n, k=1)
-        cos = G[iu, ju].astype(np.float64) / (norms[iu] * norms[ju])
+        den = norms[iu] * norms[ju]  # zero-norm mask, as in quantized_cosine_udf
+        cos = np.where(
+            den == 0, 0.0, G[iu, ju].astype(np.float64) / np.where(den == 0, 1.0, den)
+        )
         a_ids, b_ids = ids[iu], ids[ju]
         return pd.DataFrame(
             {

@@ -11,8 +11,8 @@ chunk walk, zlib inflate, scanline unfilter; no native deps), everything
 else falls back to a deterministic hash-derived stub (``_fake_decode``)
 so the pipeline stays runnable in containers without codec libraries and
 so corrupt/unknown payloads degrade instead of failing the job.  Exotic
-formats (JPEG, video, audio) still need PIL/ffmpeg — that seam is
-``_real_decode``.
+image formats (JPEG, GIF, WebP) decode through ``_real_decode`` when PIL
+is installed; audio/video metadata still needs ffmpeg and uses the stub.
 
 At 100 TB: binaries dominate row size, so operators repartition by byte
 budget (``target_partition_bytes``), select only the binary + key columns
@@ -71,10 +71,28 @@ def _fake_decode(payload: bytes, media_type: str) -> dict[str, Any]:
 
 
 def _real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
-    raise NotImplementedError(
-        "JPEG/video/audio decoding requires PIL/ffmpeg, not present in "
-        "this container; PNG/BMP decode natively via decode_png/decode_bmp"
-    )
+    """PIL-backed metadata decode for containers the pure-Python decoders
+    don't cover (JPEG/GIF/WebP/...).  Only called when ``HAVE_REAL_CODECS``
+    and only as a fallback AFTER the native PNG/BMP path — installing PIL
+    widens the decodable set, it never replaces the existing chain.
+    Raises on undecodable payloads; :func:`decode_media` degrades to the
+    hash stub.  Audio/video still need ffmpeg — those fall through to the
+    stub regardless."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        n_frames = int(getattr(img, "n_frames", 1))
+    return {
+        "n_bytes": len(payload),
+        "sha_prefix": hashlib.sha256(payload).hexdigest()[:12],
+        "width": int(width),
+        "height": int(height),
+        "n_frames": n_frames,
+        "duration_ms": 0,
+    }
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -304,6 +322,11 @@ def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
     dims = image_header_dims(payload)
     if dims is not None:
         return _image_features(payload, dims[0], dims[1])
+    if HAVE_REAL_CODECS:
+        try:
+            return _real_decode(payload, media_type)
+        except Exception:  # noqa: BLE001 — any undecodable payload degrades
+            pass
     return _fake_decode(payload, media_type)
 
 
@@ -320,12 +343,10 @@ def extract_media_features(
     document the intended budget for non-file sources (set
     ``maxRecordsPerBatch`` accordingly when wiring a stream).
     """
-    decode = _real_decode if HAVE_REAL_CODECS else decode_media
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decode(bytes(p), t)
+                decode_media(bytes(p), t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             out = pd.DataFrame(feats)

@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ploverdb_spark.operators.common import fan_out_narrow_input
 from ploverdb_spark.operators.dedup import QUANT_SCALE, quantized_cosine_udf
 
 TOPK_SALT = 16
@@ -66,9 +65,10 @@ def brute_force_topk(
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    # the Arrow cosine batches are CPU-bound; a 1-split parquet input
-    # would run them all on one core
-    candidates = fan_out_narrow_input(embeddings).select(
+    # No fan-out here: the per-row Arrow cosine is cheap relative to the
+    # shuffle a repartition costs (round-4 bench: +77% on s1 with it), and
+    # at real scale the scan already has >= cores splits.
+    candidates = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
     )
     qcos = quantized_cosine_udf()
@@ -139,7 +139,6 @@ def kmeans_assign(
     ``assignment_rounds`` assignments run with centroid updates between
     them (2 rounds = assign -> update -> assign).  Returns (id, cell).
     """
-    embeddings = fan_out_narrow_input(embeddings)  # spread the Arrow batches
     centroids = embeddings.where(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centroid")
     )
@@ -223,7 +222,7 @@ def ivf_topk(
         .where(F.col("crank") <= n_probe_cells)
         .select("query_id", "q_emb", "cell")
     )
-    candidates = fan_out_narrow_input(embeddings).select(
+    candidates = embeddings.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),

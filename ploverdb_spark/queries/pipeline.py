@@ -404,9 +404,17 @@ def _qdot(a: str, b: str) -> str:
 
 
 def _qcos(a: str, b: str) -> str:
+    # zero-norm guard: 0/0 would be NaN, which DuckDB and Spark both order
+    # ABOVE every number -- a degenerate vector would "near-dup" its whole
+    # block.  Engine (quantized_cosine_udf / block_pairs) applies the same
+    # cos=0 masking, so the two sides stay bit-identical.
+    den = (
+        f"(SQRT(CAST({_qdot(a, a)} AS DOUBLE)) * "
+        f"SQRT(CAST({_qdot(b, b)} AS DOUBLE)))"
+    )
     return (
-        f"(CAST({_qdot(a, b)} AS DOUBLE) / "
-        f"(SQRT(CAST({_qdot(a, a)} AS DOUBLE)) * SQRT(CAST({_qdot(b, b)} AS DOUBLE))))"
+        f"(CASE WHEN {den} = 0 THEN 0.0 "
+        f"ELSE CAST({_qdot(a, b)} AS DOUBLE) / {den} END)"
     )
 
 
@@ -976,7 +984,8 @@ def c5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS q
       FROM g
     )
-    SELECT vec_id, n_dims, round(sc, 6) AS scale, q,
+    SELECT vec_id, n_dims, round(sc, 6) AS scale,
+           array_to_string(q, ',') AS q_csv,
            round(list_max(list_transform(
              range(1, n_dims + 1),
              i -> abs(CAST(embedding[i] AS DOUBLE)
@@ -987,10 +996,19 @@ def c5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="int8 embedding quantization (per-vector symmetric scale) with "
     "worst-case reconstruction error — pure column expressions, zero "
     "shuffles/UDFs; the storage-compression step before shipping vectors "
-    "to training or ANN serving.",
+    "to training or ANN serving.  The catalog entry renders the quantized "
+    "vector as a comma-joined string (q_csv) because the correctness "
+    "driver's pandas canonicalizer cannot sort raw array columns; the "
+    "operator API (quantize_embeddings) keeps the typed array<int>.",
 )
 def c6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return S.quantize_embeddings(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+        "max_abs_err",
+    )
 
 
 @register(

