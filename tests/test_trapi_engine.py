@@ -898,3 +898,69 @@ def test_single_node_query_multiple_ids(engine):
     by_id = {b["id"]: b.get("query_id") for b in bindings}
     assert by_id["DIS:grandchild"] == "DIS:child"
     assert by_id.get("GENE:1") in (None, "GENE:1")  # self-binding: no remap
+
+
+@pytest.fixture(scope="module")
+def numeric_id_engine(spark):
+    """Fixture KG whose edge-id column is LONG, not string — real KGX dumps
+    ship integer edge ids, and the fast-path/distributed assembly paths
+    must agree on how they stringify (round-4 ADVICE flagged a str/raw
+    divergence with no fixture proving parity)."""
+    nodes = spark.createDataFrame(
+        [r for r in NODES if not r[0].startswith("GENE")],
+        "id string, name string, all_categories array<string>, "
+        "equivalent_curies array<string>, publications array<string>",
+    )
+    long_edges = [
+        (i, *rest)
+        for i, (_eid, *rest) in enumerate(EDGES, start=1001)
+        if not (rest[0].startswith("GENE") or rest[1].startswith("GENE"))
+    ]
+    edges = spark.createDataFrame(
+        long_edges, EDGE_SCHEMA.replace("id string", "id long", 1)
+    )
+    kg = build_knowledge_graph(nodes, edges, KgxConfig()).persist()
+    return TrapiEngine(kg, kp_infores_curie="infores:test-kp")
+
+
+def test_numeric_edge_id_fast_path_parity(numeric_id_engine, monkeypatch):
+    """Fast-path and distributed assembly must produce byte-identical
+    responses on a long-typed edge-id KG, with edge keys/bindings
+    rendered as strings in both (TRAPI kg.edges keys are JSON object
+    keys, so they MUST be strings either way)."""
+    import ploverdb_spark.query.response as R
+
+    qg = one_hop(
+        {"ids": ["CHEM:1", "CHEM:2"]},
+        {"categories": ["biolink:Disease"]},
+        "biolink:treats",
+    )
+    fast = run_query(numeric_id_engine, qg)
+    monkeypatch.setattr(R, "DISTRIBUTED_SERIALIZE_MIN_EDGES", 0)
+    slow = run_query(numeric_id_engine, qg)
+
+    for resp in (fast, slow):
+        kg_edges = resp["message"]["knowledge_graph"]["edges"]
+        assert kg_edges, "expected answers on the numeric-id fixture"
+        assert all(isinstance(k, str) for k in kg_edges)
+        for r in resp["message"]["results"]:
+            for a in r["analyses"]:
+                for ebs in a["edge_bindings"].values():
+                    assert all(isinstance(eb["id"], str) for eb in ebs)
+
+    def canon(resp):
+        msg = resp["message"]
+        for r in msg["results"]:
+            for binds in r["node_bindings"].values():
+                binds.sort(key=lambda b: b["id"])
+            for a in r["analyses"]:
+                for eb in a["edge_bindings"].values():
+                    eb.sort(key=lambda e: e["id"])
+        msg["results"].sort(key=repr)
+        for n in msg["knowledge_graph"]["nodes"].values():
+            n["attributes"].sort(key=repr)
+        for e in msg["knowledge_graph"]["edges"].values():
+            e["attributes"].sort(key=repr)
+        return msg
+
+    assert canon(fast) == canon(slow)
