@@ -102,7 +102,14 @@ def serve(
     import threading
 
     handler = type("BoundHandler", (_Handler,), {"registry": registry})
-    server = ThreadingHTTPServer((host, port), handler)
+    # TCPServer's default listen backlog is 5 — a 100-way simultaneous
+    # burst overflows it and the tail sees connection resets before the
+    # app ever runs.  Match the nginx/uwsgi listen backlog the reference
+    # deploys with (uwsgi.ini:33; api.DEFAULT_BACKLOG).
+    server_cls = type(
+        "DeepBacklogServer", (ThreadingHTTPServer,), {"request_queue_size": 512}
+    )
+    server = server_cls((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -213,17 +213,15 @@ def build(spark, kgx_dir: str, art_dir: str) -> dict:
     return tables
 
 
-def burst(registry, rng_seed: int = 7) -> dict:
-    """100 concurrent mixed TRAPI requests (reference
-    test_burst_backpressure.py:26-28): every request answered, zero 504s."""
+def burst_requests(rng_seed: int = 7) -> list:
+    """The reference burst's request mix (test_burst_backpressure.py:26-28)
+    as a concrete [(path, payload)] list, so the in-process and HTTP burst
+    clients fire byte-identical traffic."""
     import random
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ploverdb_spark.api import handle
 
     rng = random.Random(rng_seed)
-
-    def req(i: int):
+    out = []
+    for i in range(BURST_REQUESTS):
         kind = i % 4
         nid = f"SB:{rng.randrange(N_NODES)}"
         hub = f"SB:{rng.randrange(N_HUBS)}"
@@ -268,17 +266,27 @@ def burst(registry, rng_seed: int = 7) -> dict:
                 {"node_ids": [nid, hub], "categories": ["biolink:Gene"]},
                 "neighbors",
             )
-        t0 = time.time()
-        status, _ = handle(registry, path, payload)
-        return status, time.time() - t0
+        out.append((path, payload))
+    return out
 
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=BURST_REQUESTS) as pool:
-        outcomes = list(pool.map(req, range(BURST_REQUESTS)))
-    wall = time.time() - t0
+
+def _burst_stats(outcomes, wall: float) -> dict:
     lat = sorted(s for _, s in outcomes)
     statuses = [s for s, _ in outcomes]
+    # outcomes[i] corresponds to burst_requests()[i] (both clients preserve
+    # order), so i % 4 recovers the request kind — the per-kind tail shows
+    # WHICH query shape pays the queueing when p95 drifts.
+    kinds = ("one_hop", "hub_lookup", "doubly_pinned", "neighbors")
+    by_kind = {}
+    for k, name in enumerate(kinds):
+        ks = sorted(s for i, (_, s) in enumerate(outcomes) if i % 4 == k)
+        if ks:
+            by_kind[name] = {
+                "p50": round(statistics.median(ks), 2),
+                "max": round(ks[-1], 2),
+            }
     return {
+        "latency_by_kind": by_kind,
         "n_requests": len(outcomes),
         "burst_wall_sec": round(wall, 2),
         "n_504": sum(1 for s in statuses if s == 504),
@@ -290,6 +298,115 @@ def burst(registry, rng_seed: int = 7) -> dict:
         "latency_p95_sec": round(lat[int(0.95 * (len(lat) - 1))], 3),
         "latency_max_sec": round(lat[-1], 3),
     }
+
+
+def burst(registry, rng_seed: int = 7) -> dict:
+    """In-process burst: 100 concurrent mixed TRAPI requests through
+    ``api.handle`` directly.  Caveat (SCALEBENCH.md): the client threads
+    share the driver's GIL with response assembly, so latencies read HIGH
+    — kept for comparison; :func:`burst_http` is the honest measurement."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ploverdb_spark.api import handle
+
+    reqs = burst_requests(rng_seed)
+
+    def req(i: int):
+        path, payload = reqs[i]
+        t0 = time.time()
+        status, _ = handle(registry, path, payload)
+        return status, time.time() - t0
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=BURST_REQUESTS) as pool:
+        outcomes = list(pool.map(req, range(BURST_REQUESTS)))
+    stats = _burst_stats(outcomes, time.time() - t0)
+    stats["transport"] = "in-process"
+    return stats
+
+
+def burst_http(registry, rng_seed: int = 7, port: int = 9993) -> dict:
+    """The same 100-request burst fired over a REAL socket: the server is
+    ``http_frontend.serve`` (ThreadingHTTPServer -> api.handle, admission
+    control and harakiri identical to the in-process path), and the client
+    is a SEPARATE python process (``scalebench.py burst-client``) so
+    client-side socket/JSON work cannot steal the driver's GIL — this is
+    the number comparable to the reference's uWSGI deployment, where the
+    test client is likewise outside the server process."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from ploverdb_spark import http_frontend
+
+    server = http_frontend.serve(registry, host="127.0.0.1", port=port)
+    try:
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as f:
+            json.dump(burst_requests(rng_seed), f)
+            reqfile = f.name
+        t0 = time.time()
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "burst-client",
+                f"http://127.0.0.1:{port}",
+                reqfile,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        wall = time.time() - t0
+        if proc.returncode != 0:
+            raise RuntimeError(f"burst client failed: {proc.stderr[-2000:]}")
+        outcomes = json.loads(proc.stdout.strip().splitlines()[-1])
+    finally:
+        server.shutdown()
+        os.unlink(reqfile)
+    stats = _burst_stats([tuple(o) for o in outcomes], wall)
+    stats["transport"] = "http"
+    return stats
+
+
+def burst_client_main(url: str, reqfile: str) -> None:
+    """Out-of-process burst client: fire every request simultaneously over
+    HTTP, print one JSON line of [[status, latency_sec], ...].  Bodies are
+    read but NOT parsed — the client must stay CPU-trivial so measured
+    latency is the server's, not the client's."""
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    with open(reqfile, encoding="utf-8") as f:
+        reqs = json.load(f)
+
+    def fire(item):
+        path, payload = item
+        data = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            f"{url}/{path}",
+            data=data,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        t0 = time.time()
+        try:
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                resp.read()
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            status = e.code
+        except Exception:
+            status = 599  # transport failure, distinct from any HTTP status
+        return [status, time.time() - t0]
+
+    with ThreadPoolExecutor(max_workers=len(reqs)) as pool:
+        outcomes = list(pool.map(fire, reqs))
+    print(json.dumps(outcomes), flush=True)
 
 
 def main() -> None:
@@ -424,7 +541,12 @@ def main() -> None:
     print(f"# serial one-hop p50: {report['serial_one_hop_p50_sec']}s", flush=True)
 
     report["host_load_avg_pre_burst"] = os.getloadavg()[0]
-    report["burst"] = burst(registry)
+    # HTTP (out-of-process client) is the honest default; the in-process
+    # path stays one env var away for comparison.
+    if os.environ.get("SCALEBENCH_INPROC_BURST"):
+        report["burst"] = burst(registry)
+    else:
+        report["burst"] = burst_http(registry)
     report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
     print(json.dumps(report), flush=True)
 
@@ -467,5 +589,14 @@ SCALEBENCH_EDGES / SCALEBENCH_SUBCLASS).
     print("# wrote SCALEBENCH.md", flush=True)
 
 
-if __name__ == "__main__":
+def _dispatch() -> None:
+    import sys
+
+    if len(sys.argv) >= 4 and sys.argv[1] == "burst-client":
+        burst_client_main(sys.argv[2], sys.argv[3])
+        return
     main()
+
+
+if __name__ == "__main__":
+    _dispatch()
