@@ -300,6 +300,50 @@ def _burst_stats(outcomes, wall: float) -> dict:
     }
 
 
+def pathfinder_sweep(
+    registry, n_queries: int = 20, batch: int = 100, seed: int = 11
+) -> dict:
+    """The reference's real client workload (test/simulate_sequential.py,
+    test/simulate_pathfinder_build.py): sequential ``/get_neighbors``
+    batches of 100 node ids, where the id pool starts at one hub and grows
+    with every answer's neighbors (capped at 1M in the reference) — i.e.
+    each batch mixes hot hubs with cold never-seen ids, exactly how
+    Pathfinder walks the graph during ITS build.  Sequential by design, so
+    in-process measurement is honest (no client/server GIL contention)."""
+    import random
+
+    from ploverdb_spark.api import handle
+
+    rng = random.Random(seed)
+    pool_ids = [f"SB:{rng.randrange(N_HUBS)}"]
+    seen = set(pool_ids)
+    lat, total_neighbors = [], 0
+    for _ in range(n_queries):
+        ids = rng.sample(pool_ids, min(batch, len(pool_ids)))
+        t0 = time.time()
+        status, body = handle(registry, "neighbors", {"node_ids": ids})
+        lat.append(time.time() - t0)
+        if status != 200:
+            return {"error": f"status {status} after {len(lat)} queries"}
+        for neighbors in body.values():
+            total_neighbors += len(neighbors)
+            for nb in neighbors:
+                if nb not in seen and len(pool_ids) < 1_000_000:
+                    seen.add(nb)
+                    pool_ids.append(nb)
+    lat_sorted = sorted(lat)
+    return {
+        "n_queries": n_queries,
+        "batch_size": batch,
+        "p50_sec": round(statistics.median(lat_sorted), 3),
+        "p95_sec": round(lat_sorted[int(0.95 * (len(lat_sorted) - 1))], 3),
+        "total_sec": round(sum(lat), 1),
+        "neighbors_returned": total_neighbors,
+        "neighbors_per_sec": round(total_neighbors / max(sum(lat), 1e-9)),
+        "final_pool_size": len(pool_ids),
+    }
+
+
 def burst(registry, rng_seed: int = 7) -> dict:
     """In-process burst: 100 concurrent mixed TRAPI requests through
     ``api.handle`` directly.  Caveat (SCALEBENCH.md): the client threads
@@ -547,6 +591,10 @@ def main() -> None:
         report["burst"] = burst(registry)
     else:
         report["burst"] = burst_http(registry)
+    # sustained sequential throughput AFTER the burst: the pool of 8
+    # workers is warm and the id pool mixes hot hubs with cold ids
+    report["pathfinder"] = pathfinder_sweep(registry)
+    print(f"# pathfinder sweep: {json.dumps(report['pathfinder'])}", flush=True)
     report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
     print(json.dumps(report), flush=True)
 
