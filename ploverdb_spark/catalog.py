@@ -96,6 +96,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # emitted-row count == len(all_oracles()) instead of relying on this
 # ordering.
 _EMIT_FIRST = (
+    "t7_vocab_topk",
+    "c8_bloom_decontamination",
     "a2_test_triples",
     "a1_pricing_summary",
     "j2_region_revenue",

@@ -567,3 +567,84 @@ def embedding_near_dups(
     return out.select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cos")
     ).where(F.col("cos") > threshold)
+
+
+def bloom_bit_positions(
+    gram: Column, n_bits: int, n_hashes: int
+) -> Column:
+    """The ``n_hashes`` Bloom-filter bit positions of a string column, as
+    an array<long>.  Hash family: md5 with a per-hash prefix salt — md5 is
+    the one hash Spark and the DuckDB oracle share, so the filter's exact
+    bit pattern (false positives included) is reproducible on both sides.
+    First 8 hex digits -> [0, 2^32) -> mod n_bits: JVM-side, no UDF."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{i}|"), gram)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    gram_col: str = "g",
+    doc_col: str = "doc_id",
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact broadcast set (c2's shape): count, per corpus document, the
+    n-grams the filter reports as benchmark members.
+
+    Why this exists next to c2: an exact benchmark n-gram set broadcasts
+    fine for eval sets, but a multi-benchmark suite at web scale can reach
+    billions of grams — a Bloom filter bounds the broadcast at
+    ``n_bits/8`` bytes for an arbitrarily large build side, trading a
+    deterministic, measurable false-positive rate (over-flagging only:
+    Bloom filters have NO false negatives, so no contamination escapes).
+
+    Implementation keeps the filter RELATIONAL so both engines agree bit
+    for bit: the "filter" is the distinct set of set bit positions
+    (<= n_bits rows — broadcastable by construction regardless of build
+    size); a probe gram is a member iff every one of its ``n_hashes``
+    positions left-joins to a set bit.  Duplicate positions for one gram
+    produce duplicate probe rows on both sides, so ``count(*) ==
+    count(matched)`` is the exact all-positions-set test.  On a real
+    cluster the same positions set can instead be collected into a
+    ``n_bits``-wide bitarray broadcast variable and probed in an Arrow
+    UDF; the relational form here is the plan Catalyst can already
+    broadcast, prune, and partially aggregate with zero Python.
+    """
+    g, d = F.col(gram_col), F.col(doc_col)
+    bits = (
+        bench_grams.select(
+            F.explode(
+                bloom_bit_positions(g, n_bits, n_hashes)
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probe = corpus_grams.select(
+        d.alias("doc_id"),
+        g.alias("__g"),
+        F.explode(bloom_bit_positions(g, n_bits, n_hashes)).alias("bit"),
+    )
+    per_gram = (
+        probe.join(F.broadcast(bits), on="bit", how="left")
+        .groupBy("doc_id", "__g")
+        .agg(
+            (F.count(F.lit(1)) == F.count("__set")).alias("__member")
+        )
+    )
+    return (
+        per_gram.where("__member")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )

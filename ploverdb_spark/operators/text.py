@@ -242,3 +242,25 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary top-k: the token histogram every tokenizer
+    build / BPE training run starts from (and the reference has nothing
+    like — pure training-pipeline surface).
+
+    Shape: explode whitespace tokens -> groupBy(token) -> top-k with the
+    token string as the deterministic tie-break.  At 100 TB the explode is
+    a narrow map; hash partial aggregation means the single shuffle
+    carries one row per distinct token PER PARTITION (|vocab| ~ 1e6-1e8),
+    not one per token occurrence (~1e13) — the same plan a word-count on a
+    1000-executor cluster wants.  The final top-k is a TakeOrdered over
+    |vocab|, never a global sort of occurrences.
+    """
+    toks = df.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return counts.orderBy(F.desc("n_occurrences"), "token").limit(k)

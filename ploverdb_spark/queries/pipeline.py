@@ -1245,3 +1245,94 @@ def c7_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*capped.columns)
     )
     return P.pack_sequences(calm, seq_len=256)
+
+
+# -- corpus vocabulary + Bloom decontamination (round 5) ---------------------
+
+
+@register(
+    "t7_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS}) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token
+    )
+    SELECT token, n_occurrences
+    FROM counts ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+    doc="Corpus vocabulary top-50 (tokenizer/BPE-training precursor): "
+    "explode + hash-aggregate + TakeOrdered; the shuffle carries one row "
+    "per distinct token per partition (map-side partial agg), never one "
+    "per occurrence, and no global sort happens anywhere.",
+)
+def t7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.vocab_topk(load(spark, sf_dir, "documents"), k=50)
+
+
+_BLOOM_BITS, _BLOOM_HASHES = 4096, 3
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """DuckDB twin of dedup.bloom_bit_positions' i-th hash (same md5 salt,
+    same first-8-hex-digits -> bigint -> mod n_bits)."""
+    return (
+        f"(('0x' || substr(md5('b{i}|' || g), 1, 8))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+@register(
+    "c8_bloom_decontamination",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tk
+    ), bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(shingles) AS g FROM sh WHERE doc_id % 97 = 0
+      )
+    ), bits AS (
+      SELECT DISTINCT unnest([
+        {_bloom_pos_sql(0)}, {_bloom_pos_sql(1)}, {_bloom_pos_sql(2)}
+      ]) AS bit FROM bench
+    ), corpus AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 97 <> 0
+      )
+    ), probe AS (
+      SELECT doc_id, g, unnest([
+        {_bloom_pos_sql(0)}, {_bloom_pos_sql(1)}, {_bloom_pos_sql(2)}
+      ]) AS bit FROM corpus
+    ), member AS (
+      SELECT p.doc_id, p.g
+      FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.doc_id, p.g
+      HAVING COUNT(*) = COUNT(b.bit)
+    )
+    SELECT doc_id, COUNT(*) AS n_flagged_grams FROM member GROUP BY doc_id
+    """,
+    doc="c2's decontamination through a Bloom filter: the broadcast side "
+    "is the distinct set-bit positions (<= n_bits rows no matter how many "
+    "benchmark grams exist — the piece that keeps multi-benchmark "
+    "decontamination broadcastable at web scale), membership = every one "
+    "of a gram's 3 md5-salted positions is set.  Over-flags at the "
+    "filter's deterministic false-positive rate, never under-flags; both "
+    "engines compute the identical bit pattern, FPs included.",
+)
+def c8_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("__toks")
+    )
+    grams = toks.select(
+        "doc_id", F.explode(D.shingles_of(F.col("__toks"), k=3)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corpus = grams.where(F.col("doc_id") % 97 != 0).dropDuplicates(
+        ["doc_id", "g"]
+    )
+    return D.bloom_decontaminate(
+        corpus, bench, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )

@@ -12,6 +12,7 @@ from ploverdb_spark.catalog import get
 from ploverdb_spark.plans.checks import (
     assert_scale_ready,
     count_broadcast_joins,
+    formatted_plan,
     read_schema_columns,
 )
 from tests.conftest import SF_ORACLE
@@ -411,3 +412,35 @@ def test_run_query_fast_path_action_count(spark):
     after = len(tracker.getJobIdsForGroup(None) or ())
     assert resp["message"]["results"]
     assert after - before <= 3, f"fast path ran {after - before} jobs"
+
+
+def test_t7_vocab_topk_is_take_ordered(spark):
+    """t7's top-k must compile to TakeOrderedAndProject over the hash
+    aggregate (bounded driver result), with a partial_count partial agg —
+    never a global Sort of token occurrences."""
+    df = get("t7_vocab_topk").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial count" in plan
+    # the only Sort allowed is the one inside TakeOrdered's heap semantics
+    # (rendered as TakeOrderedAndProject, not a Sort node)
+    assert "+- Sort" not in plan
+
+
+def test_c8_bloom_bits_broadcast_and_no_false_negatives(spark):
+    """The Bloom positions side must broadcast (it is <= n_bits rows by
+    construction), and the filter must flag a superset of the exact
+    decontamination's hits (Bloom filters cannot miss a true member)."""
+    from ploverdb_spark.catalog import get as _get
+
+    bloom_df = _get("c8_bloom_decontamination").fn(spark, SF_ORACLE)
+    assert count_broadcast_joins(bloom_df) >= 1
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in _get("c2_decontamination").fn(spark, SF_ORACLE).collect()
+    }
+    bloom = {r.doc_id: r.n_flagged_grams for r in bloom_df.collect()}
+    missing = {d for d in exact if d not in bloom}
+    assert not missing, f"bloom missed exact-contaminated docs: {missing}"
+    under = {d for d, n in exact.items() if bloom[d] < n}
+    assert not under, f"bloom under-counted vs exact on: {under}"
