@@ -1270,7 +1270,10 @@ def t7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocab_topk(load(spark, sf_dir, "documents"), k=50)
 
 
-_BLOOM_BITS, _BLOOM_HASHES = 4096, 3
+# sized ~10x the benchmark gram count at sf0.1 so the filter is ~12%
+# full (FP/gram ~0.2%) — an undersized filter saturates and flags half
+# the corpus, which is a misconfiguration, not a property of the design
+_BLOOM_BITS, _BLOOM_HASHES = 65536, 3
 
 
 def _bloom_pos_sql(i: int) -> str:
@@ -1313,13 +1316,14 @@ def _bloom_pos_sql(i: int) -> str:
     )
     SELECT doc_id, COUNT(*) AS n_flagged_grams FROM member GROUP BY doc_id
     """,
-    doc="c2's decontamination through a Bloom filter: the broadcast side "
-    "is the distinct set-bit positions (<= n_bits rows no matter how many "
-    "benchmark grams exist — the piece that keeps multi-benchmark "
-    "decontamination broadcastable at web scale), membership = every one "
-    "of a gram's 3 md5-salted positions is set.  Over-flags at the "
-    "filter's deterministic false-positive rate, never under-flags; both "
-    "engines compute the identical bit pattern, FPs included.",
+    doc="c2's decontamination through a Bloom filter: the filter is the "
+    "distinct set-bit positions (<= n_bits rows no matter how many "
+    "benchmark grams exist — broadcastable BY CONSTRUCTION, the piece "
+    "that keeps multi-benchmark decontamination shippable at web "
+    "scale); membership = one broadcast left-semi join per md5-salted "
+    "hash, all map-side, one lazy plan.  Over-flags at the filter's "
+    "deterministic false-positive rate, never under-flags; both engines "
+    "compute the identical bit pattern, FPs included.",
 )
 def c8_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -427,14 +427,20 @@ def test_t7_vocab_topk_is_take_ordered(spark):
     assert "+- Sort" not in plan
 
 
-def test_c8_bloom_bits_broadcast_and_no_false_negatives(spark):
-    """The Bloom positions side must broadcast (it is <= n_bits rows by
-    construction), and the filter must flag a superset of the exact
-    decontamination's hits (Bloom filters cannot miss a true member)."""
+def test_c8_bloom_membership_is_broadcast_semi_and_no_false_negatives(spark):
+    """Membership must be broadcast LEFT SEMI joins (the positions side
+    is <= n_bits rows by construction — if this ever plans as sort-merge
+    the bounded-broadcast property regressed), and the filter must flag
+    a superset of the exact decontamination's hits (Bloom filters cannot
+    miss a true member)."""
     from ploverdb_spark.catalog import get as _get
+    from ploverdb_spark.plans.checks import count_sort_merge_joins
 
     bloom_df = _get("c8_bloom_decontamination").fn(spark, SF_ORACLE)
-    assert count_broadcast_joins(bloom_df) >= 1
+    plan = formatted_plan(bloom_df)
+    assert count_broadcast_joins(bloom_df) >= 3  # one semi join per hash
+    assert count_sort_merge_joins(bloom_df) == 0
+    assert "LeftSemi" in plan
     exact = {
         r.doc_id: r.n_shared_ngrams
         for r in _get("c2_decontamination").fn(spark, SF_ORACLE).collect()
