@@ -124,25 +124,34 @@ _EMIT_FIRST = (
 )
 
 
-# Emitted LAST: proven green in r04 AND implemented in modules with no
-# round-5 commits (queries/windows.py, operators/packing.py,
-# operators/text.py, build/meta_kg.py) — when the driver's 50-row cap
-# truncates the catalog, these are the safest rows to lose (their last
-# green row still describes the current code).  Entries exercising this
-# round's changed modules must stay inside the emitted window.
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
 _EMIT_LAST = (
+    # exactly 14 entries = 64-entry catalog minus the driver's 50-row
+    # cap, so the drop set is EXPLICIT, not whatever registration order
+    # leaves last.  Every entry here is green in CORRECTNESS_r04 and
+    # implemented in a module with zero round-5 commits
+    # (queries/windows.py, build/meta_kg.py, operators/packing.py,
+    # query/response.py, query/compiler.py, build/closure.py) — their
+    # r04 rows still describe the shipped code.  t1-t4 moved OUT of the
+    # tail this round: operators/text.py gained vocab_topk (append-only,
+    # but changed is changed), so they re-prove in the r05 window.
     "w1_sessionize",
     "w2_rollup_orders",
     "w3_value_deltas",
     "j12_asof_last_order",
     "a3_meta_nodes",
+    "a1_meta_kg",
     "c3_sequence_packing",
     "c4_stratified_sample",
     "c5_domain_cap",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_fingerprints",
+    "j10_edges_between_pairs",
+    "j11_batch_neighbors",
+    "a6_result_groups",
+    "g2_subclass_closure",
+    "j8_qualified_lookup",
 )
 
 
