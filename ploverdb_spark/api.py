@@ -528,6 +528,14 @@ def handle(
     import time as _time
 
     payload = payload or {}
+    # the reference registers every data route under two names
+    # (main.py:222-241, 626-627): /get_edges == /edges,
+    # /get_neighbors == /neighbors, /get_logs == /logs
+    path = {
+        "get_edges": "edges",
+        "get_neighbors": "neighbors",
+        "logs": "get_logs",
+    }.get(path, path)
     try:
         if path == "query":
             eng = registry.engine(endpoint)

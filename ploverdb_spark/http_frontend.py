@@ -30,12 +30,21 @@ GET_PATHS = {
     "healthcheck",
     "code_version",
     "get_logs",
+    "logs",  # the reference registers /get_logs and /logs (main.py:626-627)
     "debug",
     "debug/last",
     "",  # instance home page (reference main.py:130)
     "home",  # per-KP home page (reference main.py:651)
 }
-POST_PATHS = {"query", "edges", "neighbors", "rebuild"}
+# data routes are double-registered like the reference (main.py:222-241)
+POST_PATHS = {
+    "query",
+    "edges",
+    "get_edges",
+    "neighbors",
+    "get_neighbors",
+    "rebuild",
+}
 KNOWN_PATHS = GET_PATHS | POST_PATHS
 
 

@@ -553,6 +553,19 @@ def test_http_frontend_routes(registry):
         s2, body2 = post("/graft/query", QG)
         assert s1 == s2 == 200
         assert body1["message"]["results"] and body2["message"]["results"]
+        # the reference's double-registered route names (main.py:222-241,
+        # 626-627): get_edges==edges, get_neighbors==neighbors,
+        # get_logs==logs
+        pairs = [["N:0", "N:1"]]
+        s1, e1 = post("/get_edges", {"pairs": pairs})
+        s2, e2 = post("/edges", {"pairs": pairs})
+        assert s1 == s2 == 200 and e1 == e2
+        s1, n1 = post("/get_neighbors", {"node_ids": ["CHEM:1"]})
+        s2, n2 = post("/neighbors", {"node_ids": ["CHEM:1"]})
+        assert s1 == s2 == 200 and n1 == n2
+        s1, _ = get("/logs")
+        s2, _ = get("/get_logs")
+        assert s1 == s2 == 200
         # unknown path -> 404
         with pytest.raises(urllib.error.HTTPError) as exc:
             get("/nope")
