@@ -622,8 +622,9 @@ def handle(
             return 200, ""
         if path == "code_version":
             # Reference main.py:579-630 shape: code_info carries
-            # "HEAD: <branch> (<sha>); Date: <date>" (graceful fallback
-            # when no git repo is discoverable), endpoint_build_nodes maps
+            # "HEAD: <branch>; Commit: <sha7>; Timestamp: <utc>Z (<pt>)"
+            # ("git repo not found" when no repo is discoverable — see
+            # _code_info), endpoint_build_nodes maps
             # each hosted KP to its build-provenance node (the P9
             # synthetic node, reference node_lookup_map["PloverDB"]).
             return 200, {

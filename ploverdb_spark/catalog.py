@@ -86,7 +86,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 62 — so
+# emits at most 50 correctness rows while the catalog is 64 — so
 # front-load the entries that most need a fresh row.  Round 5 rotation:
 # the 12 relational entries dropped by the r04 cap come back first (two
 # rounds stale otherwise), then c6 (its q column is now a scalar q_csv —
@@ -131,13 +131,17 @@ _EMIT_FIRST = (
 _EMIT_LAST = (
     # exactly 14 entries = 64-entry catalog minus the driver's 50-row
     # cap, so the drop set is EXPLICIT, not whatever registration order
-    # leaves last.  Every entry here is green in CORRECTNESS_r04 and
-    # implemented in a module with zero round-5 commits
-    # (queries/windows.py, build/meta_kg.py, operators/packing.py,
-    # query/response.py, query/compiler.py, build/closure.py) — their
-    # r04 rows still describe the shipped code.  t1-t4 moved OUT of the
-    # tail this round: operators/text.py gained vocab_topk (append-only,
-    # but changed is changed), so they re-prove in the r05 window.
+    # leaves last.  Every entry here is green in CORRECTNESS_r04 and its
+    # shipped behavior is diff-verified unchanged this round: the
+    # implementing modules (queries/windows.py, build/meta_kg.py,
+    # operators/packing.py, query/response.py, query/compiler.py,
+    # build/closure.py) have zero round-5 commits, and for c3/c4/c5 —
+    # whose registration wrappers live in the round-5-edited
+    # queries/pipeline.py — the diff hunks touch only c6/t7/c8 and the
+    # cosine-only _qdot fragment, none of which those three entries use.
+    # t1-t4 moved OUT of the tail this round: operators/text.py gained
+    # vocab_topk (append-only, but changed is changed), so they re-prove
+    # in the r05 window.
     "w1_sessionize",
     "w2_rollup_orders",
     "w3_value_deltas",

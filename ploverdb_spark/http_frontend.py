@@ -79,16 +79,22 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _dispatch(self, payload: dict | None) -> None:
+    def _dispatch(self, payload: dict | None, allowed: set[str]) -> None:
         endpoint, path = _route(self.registry, self.path)
         if path not in KNOWN_PATHS:
             self._respond(404, {"error": f"Unknown path: {path!r}"})
+            return
+        if path not in allowed:
+            # The reference registers every route single-method (@app.get /
+            # @app.post, main.py:130-651); Flask answers the other verb
+            # with 405, so we must too — not a 400 from the engine.
+            self._respond(405, {"error": f"Method not allowed for {path!r}"})
             return
         status, body = handle(self.registry, path, payload, endpoint=endpoint)
         self._respond(status, body)
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API
-        self._dispatch(None)
+        self._dispatch(None, GET_PATHS)
 
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         length = int(self.headers.get("Content-Length") or 0)
@@ -98,7 +104,7 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError:
             self._respond(400, {"error": "Request body is not valid JSON."})
             return
-        self._dispatch(payload)
+        self._dispatch(payload, POST_PATHS)
 
 
 def serve(

@@ -54,8 +54,13 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
                 "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_SPLIT_BYTES)
             )
         )
-    except Exception:  # stats unavailable -> assume narrow, keep old behavior
-        return df.repartition(target)
+    except Exception:
+        # Stats probe unavailable (e.g. Spark Connect has no df._jdf, or an
+        # internal-API change).  Fail SAFE: skip the fan-out rather than
+        # shuffle an input of unknown size — an unconditional repartition
+        # here would collapse a multi-TB scan to ~defaultParallelism giant
+        # partitions.  Worst case we lose a small-input optimization.
+        return df
     if est_bytes >= target * max_split:
         return df
     return df.repartition(target)

@@ -322,7 +322,11 @@ def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
     dims = image_header_dims(payload)
     if dims is not None:
         return _image_features(payload, dims[0], dims[1])
-    if HAVE_REAL_CODECS:
+    if HAVE_REAL_CODECS and media_type == "image":
+        # Image payloads only: PIL happily "opens" text-ish containers
+        # (PPM, XBM) that an audio/video column may coincidentally match,
+        # and audio/video need ffmpeg anyway — those hit the stub
+        # regardless, keeping the decode deterministic per media_type.
         try:
             return _real_decode(payload, media_type)
         except Exception:  # noqa: BLE001 — any undecodable payload degrades

@@ -570,6 +570,16 @@ def test_http_frontend_routes(registry):
         with pytest.raises(urllib.error.HTTPError) as exc:
             get("/nope")
         assert exc.value.code == 404
+        # wrong method -> 405, matching the reference's single-method
+        # Flask routes (@app.get /logs, @app.post /query): GET on a POST
+        # route must not dispatch a query with an empty payload, and
+        # POST on a GET route must not leak the log tail
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get("/query")
+        assert exc.value.code == 405
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/logs", {})
+        assert exc.value.code == 405
         # rebuild without a configured token -> 401
         with pytest.raises(urllib.error.HTTPError) as exc:
             post("/rebuild", {"token": "x"})

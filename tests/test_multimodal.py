@@ -349,3 +349,8 @@ def test_pil_presence_widens_not_replaces_decode(monkeypatch):
     # 3. opaque payload: PIL raises -> hash stub, never a stage failure
     text = b"some document text"
     assert mm.decode_media(text, "image") == mm._fake_decode(text, "image")
+    # 4. audio/video payloads NEVER consult PIL even when it could "open"
+    # them (PIL accepts text-ish containers like PPM/XBM): they hit the
+    # deterministic stub regardless, per the _real_decode contract
+    assert mm.decode_media(jpg, "video") == mm._fake_decode(jpg, "video")
+    assert mm.decode_media(jpg, "audio") == mm._fake_decode(jpg, "audio")
