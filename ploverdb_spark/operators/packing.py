@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "cap_per_domain",
+    "temperature_mixture_sample",
 ]
 
 
@@ -171,4 +172,54 @@ def cap_per_domain(
         gated.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
         .select(*docs.columns)  # original column order (join reordered)
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/XLM-R alpha-sampling
+    recipe at alpha = 0.5): sample stratum ``l`` with probability
+    proportional to ``sqrt(n_l)``, upweighting low-resource strata
+    relative to their natural share, targeting ``budget`` kept rows in
+    expectation.  Per-stratum keep rate =
+    ``min(1, budget * sqrt(n_l) / (sum_k sqrt(n_k)) / n_l)``; a row is
+    kept iff its deterministic md5 uniform falls below its stratum's
+    rate.
+
+    alpha is fixed at 0.5 because IEEE ``sqrt`` is correctly rounded —
+    bit-identical across engines — where ``pow(x, alpha)`` is not, and
+    the sqrt weights are rounded to 6 decimals and summed as DECIMAL so
+    the normalizer is exact regardless of addition order.  Everything
+    downstream of the (stratum-cardinality-sized, broadcast) rate table
+    is a row-local filter: zero data-sized shuffles at any scale, and
+    re-running with the same salt reproduces the exact mixture.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.withColumn(
+        "__w",
+        F.round(F.sqrt(F.col("__n").cast("double")), 6).cast("decimal(18,6)"),
+    )
+    # global window over the stratum-cardinality-sized counts table (a
+    # crossJoin with a derived aggregate would be a self-join — ambiguous
+    # attribute lineage — and buys nothing on a |strata|-row input)
+    norm = F.sum("__w").over(Window.partitionBy())
+    rates = weighted.select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget))
+            * F.col("__w").cast("double")
+            / norm.cast("double")
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), on=stratum_col)
+        .where(md5_uniform(F.col(id_col), salt) < F.col("__rate"))
+        .select(*docs.columns)
     )

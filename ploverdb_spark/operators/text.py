@@ -51,9 +51,16 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _quality_cols(t: Column, toks: Column) -> dict[str, Column]:
-    """Quality signal columns (shared by quality_scores/text_features).
-    All ratios are single divisions (order-independent, oracle-exact)."""
+def _quality_raw(
+    t: Column, toks: Column
+) -> tuple[Column, Column, Column, Column]:
+    """Raw (unrounded) quality signals: (punct_ratio, stop_ratio,
+    mean_token_len, score).  Every term is a fixed left-associated chain
+    of exactly-rounded IEEE ops (divisions, multiplies, adds) on
+    identical inputs, so the raw score is BIT-identical between Spark
+    and the DuckDB oracle — which is what quantile bucketing needs
+    (``round(x, 6)`` is NOT bit-stable across engines; it is only used
+    for display columns compared at tolerance)."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -68,6 +75,14 @@ def _quality_cols(t: Column, toks: Column) -> dict[str, Column]:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(mean_token_len / F.lit(10.0), F.lit(1.0))
     )
+    return punct_ratio, stop_ratio, mean_token_len, score
+
+
+def _quality_cols(t: Column, toks: Column) -> dict[str, Column]:
+    """Quality signal columns (shared by quality_scores/text_features).
+    All ratios are single divisions (order-independent, oracle-exact)."""
+    punct_ratio, stop_ratio, _mtl, score = _quality_raw(t, toks)
+    n_tokens = F.size(toks)
     return {
         "n_chars_actual": F.length(t),
         "n_tokens": n_tokens,
@@ -264,3 +279,66 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences")
     )
     return counts.orderBy(F.desc("n_occurrences"), "token").limit(k)
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    q_num: int = 9,
+    q_den: int = 10,
+    granularity: int = 1000,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each language's top quality slice — everything at or above
+    that language's ``q_num/q_den`` quality quantile (top decile by
+    default) — with the threshold derived from an exact bucket histogram
+    instead of a per-language rank window.
+
+    The naive formulation (``percent_rank() OVER (PARTITION BY lang ORDER
+    BY score)``) sorts every language's full row set — at 100 TB that is
+    a multi-billion-row sort per hot language.  The histogram shape
+    bounds it: scores are bucketed to ``1/granularity`` resolution (a
+    row-local ``floor``), the per-(lang, bucket) counts aggregate to a
+    tiny table (|langs| x <= granularity+1 rows), the threshold bucket is
+    a window over THAT table, and the corpus-side filter is one broadcast
+    join + a row-local comparison.  Quantile math is pure integer
+    (``cum * q_den >= q_num * n``) so engine and oracle can never
+    disagree at a boundary.  The threshold bucket itself is kept
+    inclusively: the result is "at least the top (1 - q) fraction",
+    exact at bucket resolution.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    _p, _s, _m, score_raw = _quality_raw(t, ws_tokens(F.lower(t)))
+    bucketed = df.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.round(score_raw, 6).alias("quality_score"),
+        F.floor(score_raw * granularity).cast("long").alias("bucket"),
+    )
+    hist = bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "bucket",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_tot).alias("__n"),
+    )
+    thresholds = (
+        cum.where(F.col("__cum") * q_den >= q_num * F.col("__n"))
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("thr_bucket"))
+    )
+    return (
+        bucketed.join(F.broadcast(thresholds), on="lang")
+        .where(F.col("bucket") >= F.col("thr_bucket"))
+        .select("doc_id", "lang", "quality_score", "bucket", "thr_bucket")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ploverdb_spark.catalog import load, register
 from ploverdb_spark.operators import dedup as D
 from ploverdb_spark.operators import multimodal as M
+from ploverdb_spark.operators import packing as P
 from ploverdb_spark.operators import similarity as S
 from ploverdb_spark.operators import text as T
 
@@ -1340,3 +1341,101 @@ def c8_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.bloom_decontaminate(
         corpus, bench, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
     )
+
+
+# -- quantile-calibrated quality filter + temperature mixture (round 5) -----
+
+# raw (unrounded) quality score — the same left-associated IEEE chain as
+# operators/text.py:_quality_raw, so the double is bit-identical between
+# engines and safe to bucket with floor() (the ROUND(x, 6) used for
+# display columns is NOT bit-stable across engines)
+_SCORE_RAW = """
+         0.4 * (len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it'], x)))
+                / GREATEST(len(toks), 1))
+         + 0.3 * (1.0 - (length(text)
+                         - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                        / GREATEST(length(text), 1))
+         + 0.3 * LEAST((length(regexp_replace(text, '\\s+', '', 'g'))
+                        / GREATEST(len(toks), 1)) / 10.0, 1.0)
+"""
+
+
+@register(
+    "t8_quality_quantile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, lang,
+             ROUND({_SCORE_RAW}, 6) AS quality_score,
+             CAST(floor(({_SCORE_RAW}) * 1000) AS BIGINT) AS bucket
+      FROM t
+    ), h AS (
+      SELECT lang, bucket, COUNT(*) AS c FROM b GROUP BY lang, bucket
+    ), cum AS (
+      SELECT lang, bucket,
+             SUM(c) OVER (PARTITION BY lang ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM h
+    ), thr AS (
+      SELECT lang, MIN(bucket) AS thr_bucket FROM cum
+      WHERE cum * 10 >= 9 * n GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.quality_score, b.bucket, thr.thr_bucket
+    FROM b JOIN thr USING (lang)
+    WHERE b.bucket >= thr.thr_bucket
+    """,
+    doc="Per-language top-decile quality filter with the threshold from "
+    "an exact bucket histogram — the naive percent_rank window sorts "
+    "every language's full row set; here the only aggregate is a tiny "
+    "(lang, bucket) histogram, the threshold window runs over THAT, and "
+    "the corpus side is one broadcast join + a row-local comparison.  "
+    "Quantile math is pure integer (cum*10 >= 9*n), so engine and "
+    "oracle cannot disagree at a boundary.",
+)
+def t8_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_quantile_filter(
+        load(spark, sf_dir, "documents"), q_num=9, q_den=10, granularity=1000
+    )
+
+
+@register(
+    "c9_temperature_mixture",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), wt AS (
+      SELECT lang, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM n
+    ), tot AS (
+      SELECT SUM(w) AS tw FROM wt
+    ), r AS (
+      SELECT lang,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   400.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+                         / CAST(n AS DOUBLE)) AS rate
+      FROM wt, tot
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE ({_hex4("md5('mix' || CAST(doc_id AS VARCHAR))")} / 65536.0)
+          < r.rate
+    """,
+    doc="Temperature-scaled mixture sampling (mT5/XLM-R alpha-sampling, "
+    "alpha=0.5): keep rate per language proportional to sqrt(n_lang), "
+    "normalized to a 400-doc expected budget, applied as a "
+    "deterministic md5 Bernoulli.  alpha=0.5 because IEEE sqrt is "
+    "correctly rounded (bit-identical across engines) where pow is "
+    "not, and the normalizer sums 6-decimal DECIMAL weights so "
+    "addition order cannot change it.  Rate table is "
+    "stratum-cardinality-sized and broadcast; the corpus side is a "
+    "row-local filter — zero data-sized shuffles at any scale.",
+)
+def c9_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.temperature_mixture_sample(
+        load(spark, sf_dir, "documents"), budget=400
+    ).select("doc_id", "lang", "source")

@@ -16,6 +16,7 @@ from ploverdb_spark.operators.packing import (
     md5_uniform,
     pack_sequences,
     stratified_sample,
+    temperature_mixture_sample,
 )
 from tests.conftest import SF_ORACLE
 
@@ -118,6 +119,98 @@ def test_pack_sequences_single_exchange(docs):
     plan = formatted_plan(pack_sequences(docs))
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(exchanges) == 1, plan
+
+
+def test_temperature_mixture_upweights_low_resource(docs):
+    base = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = temperature_mixture_sample(docs, budget=200)
+    got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # alpha=0.5 flattening: every low-resource language keeps a HIGHER
+    # fraction than the dominant one (sqrt weighting), and the total
+    # lands near the budget (Bernoulli, so a loose band)
+    dominant = max(base, key=base.get)
+    dom_frac = got.get(dominant, 0) / base[dominant]
+    for lang, n in base.items():
+        if lang != dominant:
+            assert got.get(lang, 0) / n >= dom_frac
+    assert 120 <= sum(got.values()) <= 280
+    # determinism: same salt -> identical sample
+    again = temperature_mixture_sample(docs, budget=200)
+    assert sorted(kept.select("doc_id").collect()) == sorted(
+        again.select("doc_id").collect()
+    )
+
+
+def test_temperature_mixture_rate_caps_at_one(spark):
+    # a 2-row stratum under a huge budget must keep BOTH rows (rate
+    # clamps to 1.0), never oversample
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(500)] + [(9001, "rare"), (9002, "rare")],
+        "doc_id long, lang string",
+    )
+    kept = temperature_mixture_sample(df, budget=100_000)
+    got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert got == {"big": 500, "rare": 2}
+
+
+def test_temperature_mixture_broadcasts_rates(docs):
+    # the rate table is stratum-cardinality-sized: the corpus-side join
+    # must be broadcast, never a sort-merge shuffle of the corpus
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(temperature_mixture_sample(docs, budget=200))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_quantile_filter_is_per_language_top_decile(docs):
+    from ploverdb_spark.operators.text import quality_quantile_filter
+
+    kept = quality_quantile_filter(docs).collect()
+    base = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    by_lang: dict[str, list] = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(base)
+    for lang, rows in by_lang.items():
+        # at least the top 10% of the language survives, threshold is
+        # honored, and nothing below the threshold bucket leaks through
+        assert len(rows) >= base[lang] / 10
+        thr = rows[0].thr_bucket
+        assert all(r.thr_bucket == thr for r in rows)
+        assert all(r.bucket >= thr for r in rows)
+    # cross-check against the naive exact formulation: every kept doc's
+    # score bucket must be >= the language's exact 90th-percentile bucket
+    from ploverdb_spark.operators.text import _quality_raw, ws_tokens
+
+    t = F.col("text")
+    _p, _s, _m, raw = _quality_raw(t, ws_tokens(F.lower(t)))
+    scored = docs.select(
+        "doc_id", "lang", F.floor(raw * 1000).cast("long").alias("bucket")
+    )
+    w = Window.partitionBy("lang").orderBy("bucket")
+    ranked = scored.withColumn("cr", F.cume_dist().over(w))
+    naive_thr = {
+        r.lang: r.thr
+        for r in ranked.where(F.col("cr") * 10 >= 9)
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("thr"))
+        .collect()
+    }
+    for lang, rows in by_lang.items():
+        assert rows[0].thr_bucket == naive_thr[lang]
+
+
+def test_quality_quantile_filter_histogram_not_corpus_sort(docs):
+    # the corpus side must NOT be sorted per language — the only sort
+    # belongs to the tiny histogram window; the corpus side is a
+    # broadcast join + row-local filter
+    from ploverdb_spark.operators.text import quality_quantile_filter
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(quality_quantile_filter(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_quantize_embeddings_zero_shuffle(spark):
