@@ -648,3 +648,79 @@ def bloom_decontaminate(
     return probe.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_flagged_grams")
     )
+
+
+def bloom_bitmap(
+    bench_grams: DataFrame,
+    gram_col: str = "g",
+    n_bits: int = 65536,
+    n_hashes: int = 3,
+) -> np.ndarray:
+    """Materialize the Bloom filter as a dense ``n_bits`` bool array —
+    the build-side artifact for :func:`flag_contaminated_docs`.  The
+    collect is bounded at ``n_bits`` rows BY CONSTRUCTION (distinct set
+    positions), the same bounded-artifact stance as the K-sized centroid
+    matrices in similarity.py — never data-sized."""
+    bits = bench_grams.select(
+        F.explode(
+            bloom_bit_positions(F.col(gram_col), n_bits, n_hashes)
+        ).alias("bit")
+    ).distinct()
+    arr = np.zeros(n_bits, dtype=bool)
+    arr[bits.toPandas()["bit"].to_numpy(dtype=np.int64)] = True
+    return arr
+
+
+def flag_contaminated_docs(
+    docs: DataFrame,
+    bitmap: np.ndarray,
+    n_hashes: int = 3,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Bloom contamination count as a STATELESS row-local
+    transformation — the form a Structured-Streaming ingest pipeline
+    composes (no join, no aggregation, no state: appends work under any
+    watermark, and the plan is identical on a batch frame).
+
+    This is the "packed bitmap in a broadcast variable probed by an
+    Arrow UDF" alternative documented in :func:`bloom_decontaminate`:
+    the relational semi-join form wins while the positions relation
+    broadcasts, but a stream (or an n_bits beyond broadcast comfort)
+    wants the filter as a task-local array.  Shingling stays JVM-side;
+    the Arrow UDF only re-derives the same md5 hash family
+    (:func:`bloom_bit_positions`) per DISTINCT gram and probes the
+    closure-captured bitmap, so batch and streaming flag identically —
+    parity with ``bloom_decontaminate`` is pytest-enforced.
+
+    Every input document survives with its count (0 included), unlike
+    the aggregate form which only emits flagged docs.
+    """
+    import hashlib
+
+    n_bits = len(bitmap)
+
+    @F.pandas_udf("long")
+    def n_flagged(grams: pd.Series) -> pd.Series:
+        out = []
+        for gs in grams:
+            c = 0
+            for gram in set(gs) if gs is not None else ():
+                if all(
+                    bitmap[
+                        int(
+                            hashlib.md5(
+                                f"b{i}|{gram}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % n_bits
+                    ]
+                    for i in range(n_hashes)
+                ):
+                    c += 1
+            out.append(c)
+        return pd.Series(out, dtype="int64")
+
+    grams = shingles_of(ws_tokens(F.lower(F.col(text_col))), k=k)
+    return docs.withColumn("n_flagged_grams", n_flagged(grams))

@@ -1010,3 +1010,79 @@ def test_stream_edge_replay_restores_missing_direction_row(spark, tmp_path):
     after = spark.read.parquet(art)
     dirs = sorted(r["direction"] for r in after.select("direction").collect())
     assert len(dirs) == 2 and dirs[0] != dirs[1], (kept_direction, dirs)
+
+
+@pytest.mark.shard2
+def test_flag_contaminated_docs_stream_batch_parity(spark, tmp_path):
+    """The Arrow-bitmap Bloom probe (flag_contaminated_docs) must flag
+    exactly what the relational semi-join form (bloom_decontaminate)
+    flags — same md5 hash family, same bits, FPs included — and being
+    stateless it must produce identical counts on a file stream."""
+    from ploverdb_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_decontaminate,
+        flag_contaminated_docs,
+        shingles_of,
+    )
+    from ploverdb_spark.operators.text import ws_tokens
+    from tests.conftest import SF_ORACLE
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            shingles_of(ws_tokens(F.lower(F.col("text"))), k=3)
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("doc_id") % 7 == 0).select("g").distinct()
+    corpus_docs = docs.where(F.col("doc_id") % 7 != 0)
+    corpus_grams = grams.where(F.col("doc_id") % 7 != 0).dropDuplicates(
+        ["doc_id", "g"]
+    )
+
+    relational = {
+        r.doc_id: r.n_flagged_grams
+        for r in bloom_decontaminate(corpus_grams, bench).collect()
+    }
+    bitmap = bloom_bitmap(bench)
+    flagged = flag_contaminated_docs(corpus_docs, bitmap)
+    batch = {r.doc_id: r.n_flagged_grams for r in flagged.collect()}
+    # the stateless form keeps zero-count docs; the aggregate form drops
+    # them — equality on the positive support, zero elsewhere
+    assert {d: n for d, n in batch.items() if n > 0} == relational
+    assert set(batch) == {r.doc_id for r in corpus_docs.collect()}
+
+    # identical counts when the same docs arrive as a file stream
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text} for r in corpus_docs.collect()
+    ]
+    (drop / "b1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows), encoding="utf-8"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(drop)
+    )
+    q = (
+        flag_contaminated_docs(stream, bitmap)
+        .select("doc_id", "n_flagged_grams")
+        .writeStream.format("memory")
+        .queryName("contam_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # stateless: settles once files drain
+        streamed = {
+            r.doc_id: r.n_flagged_grams
+            for r in spark.sql("SELECT * FROM contam_test").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
