@@ -85,6 +85,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The correctness driver emits at most this many rows per round
+# (observed empirically since r02: exactly-50 rows for any larger
+# catalog).  tests/test_relational_queries.py asserts the pinned tail
+# below is EXACTLY the overflow, so growing the catalog without growing
+# _EMIT_LAST is a test failure, not a silent drop.
+DRIVER_EMIT_CAP = 50
+
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
 # emits at most 50 correctness rows while the catalog is 66 — so
 # front-load the entries that most need a fresh row.  Round 5 rotation:

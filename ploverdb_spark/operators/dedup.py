@@ -25,6 +25,8 @@ At scale, two quadratic corners are explicitly bounded:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 
@@ -650,31 +652,49 @@ def bloom_decontaminate(
     )
 
 
+class BloomBitmap(NamedTuple):
+    """Packed Bloom filter artifact: ``n_bits/8`` bytes of packbits plus
+    the hash-family parameters that produced it.  Carrying ``n_bits`` /
+    ``n_hashes`` WITH the bits makes a build/probe desync impossible —
+    probing with a different hash count than the build would silently
+    reintroduce false negatives, the one failure mode a Bloom filter
+    must never have."""
+
+    packed: np.ndarray  # uint8, length n_bits // 8
+    n_bits: int
+    n_hashes: int
+
+
 def bloom_bitmap(
     bench_grams: DataFrame,
     gram_col: str = "g",
     n_bits: int = 65536,
     n_hashes: int = 3,
-) -> np.ndarray:
-    """Materialize the Bloom filter as a dense ``n_bits`` bool array —
-    the build-side artifact for :func:`flag_contaminated_docs`.  The
-    collect is bounded at ``n_bits`` rows BY CONSTRUCTION (distinct set
-    positions), the same bounded-artifact stance as the K-sized centroid
-    matrices in similarity.py — never data-sized."""
-    bits = bench_grams.select(
-        F.explode(
-            bloom_bit_positions(F.col(gram_col), n_bits, n_hashes)
-        ).alias("bit")
-    ).distinct()
+) -> BloomBitmap:
+    """Materialize the Bloom filter as a packed bitmap artifact — the
+    build-side input to :func:`flag_contaminated_docs`.  The collect is
+    bounded at ``n_bits`` rows BY CONSTRUCTION (distinct set positions),
+    the same bounded-artifact stance as the K-sized centroid matrices in
+    similarity.py — never data-sized.  NULL grams (e.g. from an upstream
+    outer join) set no bits, matching the relational build side where a
+    null never equi-joins."""
+    bits = (
+        bench_grams.where(F.col(gram_col).isNotNull())
+        .select(
+            F.explode(
+                bloom_bit_positions(F.col(gram_col), n_bits, n_hashes)
+            ).alias("bit")
+        )
+        .distinct()
+    )
     arr = np.zeros(n_bits, dtype=bool)
     arr[bits.toPandas()["bit"].to_numpy(dtype=np.int64)] = True
-    return arr
+    return BloomBitmap(np.packbits(arr), n_bits, n_hashes)
 
 
 def flag_contaminated_docs(
     docs: DataFrame,
-    bitmap: np.ndarray,
-    n_hashes: int = 3,
+    bloom: BloomBitmap,
     k: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
@@ -687,27 +707,35 @@ def flag_contaminated_docs(
     Arrow UDF" alternative documented in :func:`bloom_decontaminate`:
     the relational semi-join form wins while the positions relation
     broadcasts, but a stream (or an n_bits beyond broadcast comfort)
-    wants the filter as a task-local array.  Shingling stays JVM-side;
-    the Arrow UDF only re-derives the same md5 hash family
-    (:func:`bloom_bit_positions`) per DISTINCT gram and probes the
-    closure-captured bitmap, so batch and streaming flag identically —
-    parity with ``bloom_decontaminate`` is pytest-enforced.
+    wants the filter as a task-local artifact — packed at ``n_bits/8``
+    bytes and shipped once per executor via a Spark broadcast variable,
+    not re-pickled into every UDF command.  Tokenizing + shingling stay
+    JVM-side (staged through a materialized token column per
+    :func:`shingles_of`'s contract); the Arrow UDF only re-derives the
+    same md5 hash family (:func:`bloom_bit_positions`) per DISTINCT
+    non-null gram and probes the bitmap, so batch and streaming flag
+    identically — stream/batch/relational parity is pytest-enforced.
 
-    Every input document survives with its count (0 included), unlike
-    the aggregate form which only emits flagged docs.
+    Every input document survives with its count (0 included; NULL text
+    counts 0), unlike the aggregate form which only emits flagged docs.
     """
     import hashlib
 
-    n_bits = len(bitmap)
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+    packed_bc = docs.sparkSession.sparkContext.broadcast(bloom.packed)
 
     @F.pandas_udf("long")
     def n_flagged(grams: pd.Series) -> pd.Series:
+        packed = packed_bc.value
         out = []
         for gs in grams:
             c = 0
             for gram in set(gs) if gs is not None else ():
-                if all(
-                    bitmap[
+                if gram is None:
+                    continue  # a null gram never matches the semi-join form
+                ok = True
+                for i in range(n_hashes):
+                    h = (
                         int(
                             hashlib.md5(
                                 f"b{i}|{gram}".encode()
@@ -715,12 +743,21 @@ def flag_contaminated_docs(
                             16,
                         )
                         % n_bits
-                    ]
-                    for i in range(n_hashes)
-                ):
+                    )
+                    if not (packed[h >> 3] >> (7 - (h & 7))) & 1:
+                        ok = False
+                        break
+                if ok:
                     c += 1
             out.append(c)
         return pd.Series(out, dtype="int64")
 
-    grams = shingles_of(ws_tokens(F.lower(F.col(text_col))), k=k)
-    return docs.withColumn("n_flagged_grams", n_flagged(grams))
+    staged = docs.withColumn(
+        "__toks", ws_tokens(F.lower(F.col(text_col)))
+    )
+    return (
+        staged.withColumn(
+            "n_flagged_grams", n_flagged(shingles_of(F.col("__toks"), k=k))
+        )
+        .drop("__toks")
+    )

@@ -288,6 +288,7 @@ def quality_quantile_filter(
     granularity: int = 1000,
     lang_col: str = "lang",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep each language's top quality slice — everything at or above
     that language's ``q_num/q_den`` quality quantile (top decile by
@@ -312,11 +313,15 @@ def quality_quantile_filter(
     t = F.col(text_col)
     _p, _s, _m, score_raw = _quality_raw(t, ws_tokens(F.lower(t)))
     bucketed = df.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         F.round(score_raw, 6).alias("quality_score"),
         F.floor(score_raw * granularity).cast("long").alias("bucket"),
-    )
+        # NULL-text docs are unscoreable: drop them BEFORE the histogram
+        # — Spark's window default (NULLS FIRST) and DuckDB's (NULLS
+        # LAST) would otherwise shift the cumulative counts differently
+        # and the two engines would pick different threshold buckets
+    ).where(F.col("bucket").isNotNull())
     hist = bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -1366,11 +1366,15 @@ _SCORE_RAW = """
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
-    ), b AS (
+    ), b0 AS (
       SELECT doc_id, lang,
              ROUND({_SCORE_RAW}, 6) AS quality_score,
              CAST(floor(({_SCORE_RAW}) * 1000) AS BIGINT) AS bucket
       FROM t
+    ), b AS (
+      -- unscoreable (NULL-text) docs drop BEFORE the histogram, exactly
+      -- like the engine: null ordering defaults differ between engines
+      SELECT * FROM b0 WHERE bucket IS NOT NULL
     ), h AS (
       SELECT lang, bucket, COUNT(*) AS c FROM b GROUP BY lang, bucket
     ), cum AS (

@@ -1048,13 +1048,28 @@ def test_flag_contaminated_docs_stream_batch_parity(spark, tmp_path):
         r.doc_id: r.n_flagged_grams
         for r in bloom_decontaminate(corpus_grams, bench).collect()
     }
-    bitmap = bloom_bitmap(bench)
+    # a NULL benchmark gram must set no bits (parity with the relational
+    # build side, where a null never equi-joins) and must not crash
+    bench_with_null = bench.unionByName(
+        spark.createDataFrame([(None,)], "g string")
+    )
+    bitmap = bloom_bitmap(bench_with_null)
+    assert bitmap.n_bits == 65536 and bitmap.n_hashes == 3
+    assert (bitmap.packed == bloom_bitmap(bench).packed).all()
     flagged = flag_contaminated_docs(corpus_docs, bitmap)
     batch = {r.doc_id: r.n_flagged_grams for r in flagged.collect()}
     # the stateless form keeps zero-count docs; the aggregate form drops
     # them — equality on the positive support, zero elsewhere
     assert {d: n for d, n in batch.items() if n > 0} == relational
     assert set(batch) == {r.doc_id for r in corpus_docs.collect()}
+
+    # NULL-text docs count 0 (shingles_of(null) yields null, and a null
+    # gram must never probe as the string "None")
+    null_doc = spark.createDataFrame(
+        [(9999, None)], "doc_id long, text string"
+    )
+    got = flag_contaminated_docs(null_doc, bitmap).collect()
+    assert [(r.doc_id, r.n_flagged_grams) for r in got] == [(9999, 0)]
 
     # identical counts when the same docs arrive as a file stream
     drop = tmp_path / "docs"

@@ -201,6 +201,22 @@ def test_quality_quantile_filter_is_per_language_top_decile(docs):
         assert rows[0].thr_bucket == naive_thr[lang]
 
 
+def test_quality_quantile_filter_drops_null_text(spark):
+    # unscoreable docs leave the histogram AND the output — Spark
+    # (NULLS FIRST) and DuckDB (NULLS LAST) order null buckets
+    # differently, so letting them in would shift the cumulative counts
+    # differently per engine
+    from ploverdb_spark.operators.text import quality_quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, "en", "the quick brown fox jumps over it") for i in range(10)]
+        + [(99, "en", None)],
+        "doc_id long, lang string, text string",
+    )
+    rows = quality_quantile_filter(df).collect()
+    assert rows and all(r.doc_id != 99 for r in rows)
+
+
 def test_quality_quantile_filter_histogram_not_corpus_sort(docs):
     # the corpus side must NOT be sorted per language — the only sort
     # belongs to the tiny histogram window; the corpus side is a

@@ -47,3 +47,32 @@ def test_multiprobe_recall_monotone(spark):
     # and multi-probe genuinely helps somewhere at this scale (the cells
     # are label-partitioned, so some true neighbors sit across cells)
     assert any(r.recall_p3 > r.recall_p1 for r in rows)
+
+
+def test_emission_drop_set_is_exactly_the_pinned_tail():
+    """The driver emits at most DRIVER_EMIT_CAP correctness rows; the
+    entries that fall off MUST be exactly the deliberately-pinned
+    _EMIT_LAST tail — growing the catalog without growing the tail would
+    otherwise silently push an unpinned entry out of the correctness
+    window."""
+    from ploverdb_spark.catalog import (
+        DRIVER_EMIT_CAP,
+        _EMIT_FIRST,
+        _EMIT_LAST,
+        all_oracles,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    assert list(all_oracles()) == names  # same order, fully oracle-backed
+    assert len(set(names)) == len(names)
+    assert set(_EMIT_FIRST).isdisjoint(_EMIT_LAST)
+    overflow = names[DRIVER_EMIT_CAP:]
+    assert set(overflow) == set(_EMIT_LAST), (
+        f"catalog has {len(names)} entries but the pinned tail has "
+        f"{len(_EMIT_LAST)} — the drop set would include unpinned "
+        f"entries: {sorted(set(overflow) - set(_EMIT_LAST))}"
+    )
+    # every head pin must exist (a typo here silently unpins an entry)
+    registered = set(names)
+    assert set(_EMIT_FIRST) <= registered and set(_EMIT_LAST) <= registered
