@@ -71,6 +71,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       bigint nanos; integer-divide to micros (double division would round
       differently than DuckDB's truncation for ~1e18 nanos).
     """
+    from ploverdb_spark.operators.common import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -93,7 +96,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 66 — so
+# emits at most 50 correctness rows while the catalog is 67 — so
 # front-load the entries that most need a fresh row.  Round 5 rotation:
 # the 12 relational entries dropped by the r04 cap come back first (two
 # rounds stale otherwise), then c6 (its q column is now a scalar q_csv —
@@ -103,6 +106,7 @@ DRIVER_EMIT_CAP = 50
 # emitted-row count == len(all_oracles()) instead of relying on this
 # ordering.
 _EMIT_FIRST = (
+    "c10_lsh_decontamination",
     "t8_quality_quantile",
     "c9_temperature_mixture",
     "t7_vocab_topk",
@@ -138,7 +142,7 @@ _EMIT_FIRST = (
 # describes the current code).  Entries exercising this round's changed
 # modules must stay inside the emitted window.
 _EMIT_LAST = (
-    # exactly 16 entries = 66-entry catalog minus the driver's 50-row
+    # exactly 17 entries = 67-entry catalog minus the driver's 50-row
     # cap, so the drop set is EXPLICIT, not whatever registration order
     # leaves last.  Every entry here is green in CORRECTNESS_r04 and its
     # shipped behavior is diff-verified unchanged this round: the
@@ -165,12 +169,13 @@ _EMIT_LAST = (
     "a6_result_groups",
     "g2_subclass_closure",
     "j8_qualified_lookup",
-    # added when t8/c9 grew the catalog to 66: both green in r04, both
+    # added when t8/c9/c10 grew the catalog to 67: all green in r04, all
     # implemented in modules with zero round-5 commits (sources/kgx.py,
     # build/ingest.py) and registered in the untouched
     # queries/semantics.py
     "p4_zip_roundtrip",
     "a4_normalize_merge",
+    "p6_most_specific_categories",
 )
 
 

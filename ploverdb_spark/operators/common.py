@@ -2,9 +2,53 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
 
 _DEFAULT_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``ploverdb_spark`` importable on executor Python workers.
+
+    cloudpickle serializes module-level functions *by reference*, so a
+    pandas UDF that closes over e.g. ``operators.multimodal.decode_png``
+    needs the package importable on the worker.  When the driver runs
+    from the repo root that is free (cwd is on ``sys.path`` and local
+    workers inherit it), but a driver launched from any other cwd — or a
+    real cluster whose executors never saw the repo checkout — fails
+    with ``ModuleNotFoundError`` at task time.  Shipping the package via
+    ``sc.addPyFile`` (a ~100 KB source zip, sent once per session and
+    cached per executor) removes the deployment assumption entirely; on
+    a 1000-executor cluster this is exactly how Python deps ride along.
+
+    Idempotent per SparkContext; fail-safe (a sandboxed driver that
+    cannot write the temp zip just keeps the cwd assumption).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ploverdb_pyfiles_shipped", False):
+        return
+    try:
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"ploverdb_spark_pyfiles_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(dirpath, fname)
+                        rel = os.path.join(
+                            "ploverdb_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        sc.addPyFile(zpath)
+        sc._ploverdb_pyfiles_shipped = True
+    except Exception:
+        pass
 
 
 def _size_suffix_to_bytes(v: str) -> int:
@@ -46,9 +90,12 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        est_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        # py4j maps scala.BigInt to a plain Python int for some Spark
+        # versions and returns the Java object for others — accept both
+        # (the .toString()-only form silently threw on the int case,
+        # which turned the gate into its except-path behavior)
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est_bytes = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
         max_split = _size_suffix_to_bytes(
             spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_SPLIT_BYTES)

@@ -129,6 +129,39 @@ def minhash_signatures(
     return staged.select(F.col(id_col), *sig_cols)
 
 
+def _lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) rows: one md5 key per LSH band, all bands
+    emitted in ONE projection (array of structs -> explode) so the
+    signature subtree evaluates exactly once — never a per-band UNION,
+    which Catalyst would evaluate once per branch."""
+    bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"minhash_{i}")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -158,27 +191,7 @@ def lsh_candidate_pairs(
     groupBy cluster on the same bucket key, so the expensive signature
     subtree still evaluates exactly once.
     """
-    bands = num_hashes // band_size
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"minhash_{i}")
-                            for i in range(b * band_size, (b + 1) * band_size)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, "bk.band", "bk.band_key")
+    banded = _lsh_band_keys(signatures, id_col, num_hashes, band_size)
     # one shuffle on the bucket key; the groupBy below clusters on the
     # same leading keys (no second full exchange)
     n_sub = F.ceil(
@@ -760,4 +773,42 @@ def flag_contaminated_docs(
             "n_flagged_grams", n_flagged(shingles_of(F.col("__toks"), k=k))
         )
         .drop("__toks")
+    )
+
+
+def lsh_cross_contamination(
+    corpus_sigs: DataFrame,
+    bench_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: corpus documents that
+    share any LSH band bucket with any benchmark document, with the
+    count of distinct benchmark near-matches.
+
+    Exact n-gram decontamination (c2/c8) misses paraphrased
+    contamination — a benchmark answer lightly reworded shares few exact
+    3-grams but most of its MinHash signature.  This is the LSH
+    candidate machinery of :func:`lsh_candidate_pairs` pointed across
+    two corpora instead of at itself: band keys for both sides from the
+    SAME single-projection shape, then corpus x bench bucket equi-join.
+
+    Scale shape: the benchmark side is benchmark-sized (eval suites are
+    thousands-to-millions of docs — broadcastable by nature, and
+    |bands| x that in rows), so the join is a map-side broadcast hash
+    join over the corpus band keys; the only shuffle is the final
+    per-document distinct-count aggregation.  A corpus-sized bench
+    would flip this to a plain shuffle join — drop the broadcast hint,
+    nothing else changes.
+    """
+    corpus_b = _lsh_band_keys(corpus_sigs, id_col, num_hashes, band_size)
+    bench_b = _lsh_band_keys(
+        bench_sigs, id_col, num_hashes, band_size
+    ).withColumnRenamed(id_col, "__bench_id")
+    joined = corpus_b.join(
+        F.broadcast(bench_b), on=["band", "band_key"]
+    )
+    return joined.groupBy(id_col).agg(
+        F.countDistinct("__bench_id").alias("n_bench_dups")
     )

@@ -1443,3 +1443,59 @@ def c9_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.temperature_mixture_sample(
         load(spark, sf_dir, "documents"), budget=400
     ).select("doc_id", "lang", "source")
+
+
+_C10_SIGS = f"""
+    corpus AS ({_DOUBLED}),
+    tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tk
+    ), sigs AS (
+      SELECT doc_id,
+        list_min(list_transform(shingles, s -> md5('0|' || s))) AS m0,
+        list_min(list_transform(shingles, s -> md5('1|' || s))) AS m1,
+        list_min(list_transform(shingles, s -> md5('2|' || s))) AS m2,
+        list_min(list_transform(shingles, s -> md5('3|' || s))) AS m3,
+        list_min(list_transform(shingles, s -> md5('4|' || s))) AS m4,
+        list_min(list_transform(shingles, s -> md5('5|' || s))) AS m5,
+        list_min(list_transform(shingles, s -> md5('6|' || s))) AS m6,
+        list_min(list_transform(shingles, s -> md5('7|' || s))) AS m7
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(m4 || '|' || m5) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(m6 || '|' || m7) AS band_key FROM sigs
+    )
+"""
+
+
+@register(
+    "c10_lsh_decontamination",
+    oracle=f"""
+    WITH {_C10_SIGS}
+    SELECT c.doc_id, COUNT(DISTINCT b.doc_id) AS n_bench_dups
+    FROM bands c JOIN bands b
+      ON c.band = b.band AND c.band_key = b.band_key
+    WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+    GROUP BY c.doc_id
+    """,
+    doc="NEAR-duplicate benchmark decontamination: corpus docs sharing "
+    "any MinHash-LSH band bucket with any benchmark doc (the paraphrase "
+    "gap exact n-gram decontamination c2/c8 cannot see).  Band keys for "
+    "both sides from the same single-projection shape as d2; the "
+    "benchmark side is benchmark-sized so the bucket equi-join is a "
+    "map-side broadcast; the only shuffle is the per-doc distinct-count "
+    "aggregation.",
+)
+def c10_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doubled_docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return D.lsh_cross_contamination(
+        D.minhash_signatures(corpus), D.minhash_signatures(bench)
+    )

@@ -450,3 +450,77 @@ def test_c8_bloom_membership_is_broadcast_semi_and_no_false_negatives(spark):
     assert not missing, f"bloom missed exact-contaminated docs: {missing}"
     under = {d for d, n in exact.items() if bloom[d] < n}
     assert not under, f"bloom under-counted vs exact on: {under}"
+
+
+def test_c10_lsh_decontamination_broadcasts_bench_and_flags_exact_dups(spark):
+    """The benchmark band-key side must broadcast (benchmark-sized by
+    nature), never a sort-merge shuffle of the corpus; and every corpus
+    doc whose EXACT duplicate sits in the benchmark split must be
+    flagged (identical text -> identical signature -> all bands match,
+    so LSH cannot miss it)."""
+    from ploverdb_spark.catalog import get as _get
+    from ploverdb_spark.plans.checks import count_sort_merge_joins
+
+    df = _get("c10_lsh_decontamination").fn(spark, SF_ORACLE)
+    assert count_broadcast_joins(df) >= 1
+    assert count_sort_merge_joins(df) == 0
+    flagged = {r.doc_id for r in df.collect()}
+    # doubled corpus: doc k and k+1_000_000 share text; whenever exactly
+    # one of them lands in the bench split (k % 97 == 0 xor ...), the
+    # other MUST be flagged
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    must_flag = set()
+    for k in ids:
+        a, b = k, k + 1_000_000
+        if (a % 97 == 0) != (b % 97 == 0):
+            must_flag.add(b if a % 97 == 0 else a)
+    missing = must_flag - flagged
+    assert not missing, f"LSH missed exact cross-split duplicates: {missing}"
+
+
+def test_worker_imports_shipped_once_per_session(spark):
+    """catalog.load must ship the package source zip to executors
+    (``sc.addPyFile``) so pandas-UDF queries survive a driver launched
+    outside the repo root (cloudpickle pickles module functions by
+    REFERENCE; without the zip, workers whose sys.path lacks the repo
+    die with ModuleNotFoundError at task time — reproduced by running
+    the contract script from /tmp).  Must be idempotent: one zip per
+    SparkContext, not one per load() call."""
+    from ploverdb_spark.catalog import load
+    from ploverdb_spark.operators.common import ensure_worker_imports
+
+    load(spark, SF_ORACLE, "documents")
+    sc = spark.sparkContext
+    assert getattr(sc, "_ploverdb_pyfiles_shipped", False)
+    shipped = [p for p in sc._python_includes if "ploverdb_spark_pyfiles" in p]
+    assert len(shipped) == 1, shipped
+    # second call: no duplicate registration
+    ensure_worker_imports(spark)
+    shipped2 = [p for p in sc._python_includes if "ploverdb_spark_pyfiles" in p]
+    assert shipped2 == shipped
+
+
+def test_fan_out_narrow_input_gate(spark):
+    """The size gate must actually evaluate (the sizeInBytes probe once
+    returned a plain int whose .toString() call threw, silently turning
+    the gate into its exception fallback): a small parquet-backed frame
+    repartitions to defaultParallelism, and a probe failure falls back
+    to NO repartition (never shuffle an input of unknown size)."""
+    from ploverdb_spark.operators.common import fan_out_narrow_input
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < 8
+    fanned = fan_out_narrow_input(docs, min_partitions=8)
+    assert fanned.rdd.getNumPartitions() == 8
+
+    # probe failure -> fail-safe passthrough (identical partitioning)
+    class Broken:
+        def __getattr__(self, name):
+            raise RuntimeError("no internal access")
+
+    broken = docs.where("doc_id >= 0")
+    object.__setattr__(broken, "_jdf", Broken())
+    assert fan_out_narrow_input(broken, min_partitions=8) is broken

@@ -260,3 +260,58 @@ def test_quantize_embeddings_roundtrip_property(spark, rows):
         assert len(r.q) == r.n_dims == 4
         assert all(-127 <= c <= 127 for c in r.q)
         assert r.max_abs_err <= true_scale[r.vec_id] / 254 + 1e-9
+
+
+strata_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr", "es", "zh", "ru"]),
+        st.integers(1, 60),  # stratum size
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(strata_corpora, st.integers(10, 500))
+def test_temperature_mixture_matches_driver_reference(spark, strata, budget):
+    """temperature_mixture_sample == a driver-side reference that
+    recomputes the identical rate formula and md5 uniforms row by row —
+    on random stratum shapes and budgets (clamped and unclamped)."""
+    import hashlib
+    import math
+
+    from ploverdb_spark.operators.packing import temperature_mixture_sample
+
+    rows, next_id = [], 0
+    for lang, n in strata:
+        for _ in range(n):
+            rows.append((next_id, lang))
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # driver-side reference: same sqrt weights rounded to 6 decimals,
+    # summed exactly (Fraction-free: scaled-int arithmetic), same
+    # budget*w/W/n rate, same md5 uniform
+    w6 = {
+        lang: round(math.sqrt(float(n)), 6) for lang, n in strata
+    }
+    total_micro = sum(int(round(w * 1e6)) for w in w6.values())
+    W = total_micro / 1e6
+    rate = {
+        lang: min(1.0, float(budget) * w6[lang] / W / n)
+        for lang, n in strata
+    }
+    expected = {
+        doc_id
+        for doc_id, lang in rows
+        if int(hashlib.md5(f"mix{doc_id}".encode()).hexdigest()[:4], 16)
+        / 65536.0
+        < rate[lang]
+    }
+    got = {
+        r.doc_id
+        for r in temperature_mixture_sample(df, budget=budget).collect()
+    }
+    assert got == expected
