@@ -106,6 +106,11 @@ DRIVER_EMIT_CAP = 50
 # emitted-row count == len(all_oracles()) instead of relying on this
 # ordering.
 _EMIT_FIRST = (
+    "c11_doc_chunking",
+    "t9_tfidf_topk",
+    "t10_pii_redaction",
+    "s6_signed_projection",
+    "m4_audio_metadata",
     "c10_lsh_decontamination",
     "t8_quality_quantile",
     "c9_temperature_mixture",
@@ -142,16 +147,16 @@ _EMIT_FIRST = (
 # describes the current code).  Entries exercising this round's changed
 # modules must stay inside the emitted window.
 _EMIT_LAST = (
-    # exactly 17 entries = 67-entry catalog minus the driver's 50-row
+    # exactly (catalog - 50) entries: 68-entry catalog minus the driver's 50-row
     # cap, so the drop set is EXPLICIT, not whatever registration order
     # leaves last.  Every entry here is green in CORRECTNESS_r04 and its
     # shipped behavior is diff-verified unchanged this round: the
     # implementing modules (queries/windows.py, build/meta_kg.py,
-    # operators/packing.py, query/response.py, query/compiler.py,
-    # build/closure.py) have zero round-5 commits, and for c3/c4/c5 —
-    # whose registration wrappers live in the round-5-edited
-    # queries/pipeline.py — the diff hunks touch only c6/t7/c8 and the
-    # cosine-only _qdot fragment, none of which those three entries use.
+    # query/response.py, query/compiler.py, build/closure.py) have zero
+    # round-5 commits; operators/packing.py and queries/pipeline.py DO
+    # have round-5 commits, but every hunk is append-only new-operator
+    # code (temperature_mixture_sample, c9-c11/t9/t10/s6 wrappers) —
+    # the functions c3/c4/c5 execute are line-identical to r04.
     # t1-t4 moved OUT of the tail this round: operators/text.py gained
     # vocab_topk (append-only, but changed is changed), so they re-prove
     # in the r05 window.
@@ -176,6 +181,17 @@ _EMIT_LAST = (
     "p4_zip_roundtrip",
     "a4_normalize_merge",
     "p6_most_specific_categories",
+    # added as c11/t9/t10/s6/m4 grew the catalog to 72: r04-green
+    # entries whose implementing modules (query/compiler.py,
+    # query/constraints.py, build/ingest.py) have zero round-5 commits;
+    # their semantics stay exercised by the in-window TRAPI entries
+    # (j2/j3/j8 share the same compiler path, a4_normalize_merge the
+    # same ingest path)
+    "j4_alias_lookup",
+    "j5_subclass_expanded_lookup",
+    "f4_symmetric_lookup",
+    "p7_canonical_flip",
+    "f3_constrained_lookup",
 )
 
 

@@ -297,3 +297,71 @@ def quantize_embeddings(
         "q",
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+def srp_weights(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas-style sign matrix)
+    seeded by md5 — generated driver-side at plan-build time, so engine
+    and oracle embed the IDENTICAL literals and no cross-engine hash
+    agreement is needed."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"srp{b}|{d}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def signed_random_projection(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed random projection (SimHash for dense vectors): each vector
+    maps to an ``n_bits``-bit signature whose bit b is the sign of the
+    dot product with a deterministic ±1 hyperplane — the standard
+    LSH family for cosine similarity (Charikar), complementing d3's
+    text SimHash and the IVF family: vectors in the same signature
+    bucket are near-duplicate candidates at O(1) probe cost.
+
+    Exactness: components are int64-quantized (``floor(x*1e7+0.5)``, the
+    proven d5/s1 chain) so each hyperplane sum is *integer* arithmetic —
+    bit-identical in any engine, no float dot-product order variance.
+
+    Scale shape: the signature is one narrow projection (zero UDFs; 16
+    zip_with/aggregate folds over the 64-dim array); the only shuffle is
+    the bucket-size window on the 16-bit signature — 65k groups, never
+    skewed beyond corpus/65k on random data, and droppable if the caller
+    only wants signatures.  Returns (id, srp_sig, n_bucket).
+    """
+    from pyspark.sql.window import Window
+
+    from ploverdb_spark.operators.dedup import QUANT_SCALE
+
+    weights = srp_weights(n_bits, dim)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE + 0.5).cast("long"),
+    )
+    staged = embeddings.select(F.col(id_col), q.alias("__q"))
+    sig = F.lit(0)
+    for b, wrow in enumerate(weights):
+        warr = F.array(*[F.lit(w) for w in wrow])
+        s_b = F.aggregate(
+            F.zip_with(F.col("__q"), warr, lambda a, w: a * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(s_b >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    out = staged.select(F.col(id_col), sig.alias("srp_sig"))
+    return out.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
+    )

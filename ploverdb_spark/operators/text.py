@@ -347,3 +347,89 @@ def quality_quantile_filter(
         .where(F.col("bucket") >= F.col("thr_bucket"))
         .select("doc_id", "lang", "quality_score", "bucket", "thr_bucket")
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic relevance /
+    keyword-extraction signal quality pipelines use for topic tagging
+    and near-boilerplate detection (beyond-reference surface; the
+    reference has no corpus statistics at all).
+
+    The idf factor is *integer* micro-units — ``(n_docs * 1e6) div
+    doc_freq`` — instead of the textbook ``ln(N/df)``: natural log is
+    not exactly-rounded IEEE, so a float idf could rank differently
+    between engines at ties; integer idf is bit-identical everywhere
+    and order-isomorphic to N/df (log is monotone).
+
+    Scale shape: explode -> hash-aggregate (partial agg means the
+    shuffle carries |vocab|-per-partition rows, not occurrences); the
+    doc-frequency table derives from the (doc,term) counts (vocab-sized
+    — AQE picks broadcast vs shuffle join by its runtime size, the right
+    call either way at 100 TB); the corpus doc count is a 1-row
+    broadcast; final top-k is a per-document row_number window with the
+    term string as the deterministic tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.col("tf") * F.expr("(n_docs * 1000000) div doc_freq"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score_micro")
+    )
+
+
+PII_REPLACEMENTS: dict[str, str] = {
+    name: f"<{name.upper()}>" for name in PII_PATTERNS
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the transform stage behind :func:`pii_scan`'s
+    report: every match of each pattern class is replaced by a typed
+    placeholder (``<EMAIL>``, ``<PHONE>``, ...), chained in the fixed
+    ``PII_PATTERNS`` order so the result is deterministic.
+
+    ``n_redacted`` counts matches on the ORIGINAL text (the same totals
+    pii_scan reports); a pattern whose match only forms after an earlier
+    replacement is intentionally not re-counted.  Output carries the
+    md5 + length of the redacted text rather than the text itself —
+    what an audit table stores; the redacted column is one more
+    ``.select`` away for the write path.
+
+    Pure chained ``regexp_replace`` column expressions: zero UDFs, zero
+    shuffles, embarrassingly parallel at 100 TB.
+    """
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_REPLACEMENTS[name])
+    n_redacted = sum(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for pat in PII_PATTERNS.values()
+    )
+    return df.select(
+        "doc_id",
+        n_redacted.alias("n_redacted"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_hash"),
+    )

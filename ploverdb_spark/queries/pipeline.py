@@ -1499,3 +1499,188 @@ def c10_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_cross_contamination(
         D.minhash_signatures(corpus), D.minhash_signatures(bench)
     )
+
+
+@register(
+    "c11_doc_chunking",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 24)) AS start
+      FROM tk
+    )
+    SELECT doc_id,
+           start // 24 AS chunk_idx,
+           len(toks[(start + 1):(start + 32)]) AS n_chunk_tokens,
+           md5(array_to_string(toks[(start + 1):(start + 32)], ' '))
+             AS chunk_hash
+    FROM st
+    """,
+    doc="Overlapping token-window chunking (32-token windows, stride 24): "
+    "the context-window preparation step between cleaning and packing.  "
+    "One explode, zero shuffles, zero UDFs; output bounded by "
+    "ceil(tokens/stride) rows per document.",
+)
+def c11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
+    "t9_tfidf_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+             t.tf * ((n.n_docs * 1000000) // d.doc_freq) AS score_micro,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ((n.n_docs * 1000000) // d.doc_freq) DESC,
+                        t.term
+             ) AS rn
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, score_micro
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms with integer micro-unit idf "
+    "((n_docs*1e6) div doc_freq — order-isomorphic to ln(N/df) but "
+    "bit-identical across engines).  Partial-agg explode, vocab-sized "
+    "doc-freq join, term-string tie-break.",
+)
+def t9_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+def _t10_oracle() -> str:
+    from ploverdb_spark.operators.text import PII_PATTERNS, PII_REPLACEMENTS
+
+    red = "text"
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        sq = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{sq}', '{PII_REPLACEMENTS[name]}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{sq}'))")
+    return f"""
+    SELECT doc_id,
+           {' + '.join(counts)} AS n_redacted,
+           length({red}) AS redacted_len,
+           md5({red}) AS redacted_hash
+    FROM documents
+    """
+
+
+@register(
+    "t10_pii_redaction",
+    oracle=_t10_oracle(),
+    doc="PII redaction: chained regexp_replace of email/phone/SSN/IPv4 "
+    "matches with typed placeholders, plus original-text match totals.  "
+    "Zero UDFs, zero shuffles; output carries md5+length of the redacted "
+    "text (the audit-table shape).",
+)
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_redact(load(spark, sf_dir, "documents"))
+
+
+def _s6_oracle(n_bits: int = 16, dim: int = 64) -> str:
+    from ploverdb_spark.operators.similarity import srp_weights
+
+    weights = srp_weights(n_bits, dim)
+    bit_terms = []
+    for b, wrow in enumerate(weights):
+        dot = "".join(
+            f" {'+' if w > 0 else '-'} q[{d + 1}]" for d, w in enumerate(wrow)
+        )
+        bit_terms.append(
+            f"(CASE WHEN (0{dot}) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    sig = "\n        + ".join(bit_terms)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, {sig} AS srp_sig FROM q
+    )
+    SELECT vec_id, srp_sig,
+           count(*) OVER (PARTITION BY srp_sig) AS n_bucket
+    FROM sig
+    """
+
+
+@register(
+    "s6_signed_projection",
+    oracle=_s6_oracle(),
+    doc="Signed random projection (cosine-LSH signatures, Charikar): "
+    "16-bit sign signature from deterministic md5-seeded +-1 hyperplanes "
+    "over int64-quantized components (integer dot products — "
+    "bit-identical across engines), plus the signature-bucket size.  "
+    "One narrow projection + one 65k-group window shuffle.",
+)
+def s6_signed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.signed_random_projection(
+        load(spark, sf_dir, "embeddings"), n_bits=16, dim=64
+    )
+
+
+@register(
+    "m4_audio_metadata",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+      FROM documents
+    ), p AS (
+      SELECT media_id, dlen,
+             8000 + {_md5_byte(0)} * 100 AS sample_rate,
+             1 + ({_md5_byte(1)} % 2) AS n_channels,
+             8 + 8 * ({_md5_byte(2)} % 2) AS bits_per_sample,
+             CASE WHEN {_md5_byte(3)} % 2 = 0 THEN 16 ELSE 0 END AS extra
+      FROM m
+    ), q AS (
+      SELECT media_id, dlen, sample_rate, n_channels, bits_per_sample,
+             extra,
+             dlen // ((n_channels * bits_per_sample) // 8) AS n_samples
+      FROM p
+    )
+    SELECT media_id,
+           12 + 24 + extra + 8 + dlen + (dlen % 2) AS n_bytes,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+           dlen AS n_data_bytes,
+           n_samples,
+           n_samples * 1000 // sample_rate AS duration_ms
+    FROM q
+    """,
+    doc="Audio-container plumbing: deterministic WAV synthesis "
+    "(md5-derived rate/channels/bits, payload bytes as PCM) round-"
+    "tripped through a REAL RIFF chunk-walking parser (word alignment, "
+    "unknown-chunk tolerance, per-record degrade) in one Arrow-batched "
+    "mapInPandas — the audio sibling of m1's image path.  The oracle "
+    "recomputes every field from md5/length, codec-free.",
+)
+def m4_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators.audio import audio_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return audio_metadata(media, synthesize=True)

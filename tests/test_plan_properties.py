@@ -524,3 +524,157 @@ def test_fan_out_narrow_input_gate(spark):
     broken = docs.where("doc_id >= 0")
     object.__setattr__(broken, "_jdf", Broken())
     assert fan_out_narrow_input(broken, min_partitions=8) is broken
+
+
+def test_c11_chunking_is_shuffle_free_and_window_exact(spark):
+    """Chunking must be a pure narrow plan (zero Exchanges — explode is
+    the only multiplier) reading only (doc_id, text); and the windows
+    must tile each document with the exact stride/overlap: chunk i
+    covers tokens [i*stride, i*stride + 32), consecutive chunks share 8
+    tokens, and the union of chunks covers every token."""
+    from ploverdb_spark.catalog import get as _get
+
+    df = _get("c11_doc_chunking").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = {c for scan in read_schema_columns(df) for c in scan}
+    assert cols <= {"doc_id", "text"}, cols
+
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    import hashlib
+
+    for doc_id, toks in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        n = max(len(toks), 1)
+        expected_starts = list(range(0, n, 24))
+        assert [c.chunk_idx for c in chunks] == list(range(len(expected_starts)))
+        covered = 0
+        for c, start in zip(chunks, expected_starts):
+            window = toks[start : start + 32]
+            assert c.n_chunk_tokens == len(window)
+            assert (
+                c.chunk_hash
+                == hashlib.md5(" ".join(window).encode()).hexdigest()
+            )
+            covered = max(covered, start + len(window))
+        assert covered == len(toks)
+
+
+def test_t9_tfidf_partial_agg_and_reference_scores(spark):
+    """The explode aggregation must partial-agg (shuffle carries vocab-
+    per-partition rows, not token occurrences) and never plan a
+    cartesian; scores must equal a driver-side reference computing
+    tf * ((N*1e6) // df) with per-doc top-3 and term tie-break."""
+    from collections import Counter
+
+    from ploverdb_spark.catalog import get as _get
+
+    df = _get("t9_tfidf_topk").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    dfreq = Counter(t for c in tf.values() for t in c)
+    expected = {}
+    for d, c in tf.items():
+        scored = sorted(
+            ((t, n, n * ((n_docs * 1_000_000) // dfreq[t])) for t, n in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:3]
+        for t, n, s in scored:
+            expected[(d, t)] = (n, dfreq[t], s)
+    got = {
+        (r.doc_id, r.term): (r.tf, r.doc_freq, r.score_micro)
+        for r in df.collect()
+    }
+    assert got == expected
+
+
+def test_t10_redaction_shuffle_free_and_actually_redacts(spark):
+    """Redaction is a pure scan (zero Exchanges, zero UDFs) and the
+    redacted text hash differs from the original exactly when PII
+    matched (n_redacted > 0 on a doc whose text contains an email =>
+    hash != md5(original))."""
+    import hashlib
+
+    from ploverdb_spark.catalog import get as _get
+
+    df = _get("t10_pii_redaction").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.doc_id: r for r in df.collect()}
+    originals = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    for d, r in rows.items():
+        same = hashlib.md5(originals[d].encode()).hexdigest() == r.redacted_hash
+        if r.n_redacted > 0:
+            assert not same, f"doc {d}: {r.n_redacted} matches but text unchanged"
+        else:
+            assert same, f"doc {d}: no matches but text changed"
+
+    # the test corpus contains no PII, so drive the redaction itself on
+    # a synthetic frame: every pattern class replaced, totals correct
+    from ploverdb_spark.operators.text import pii_redact
+
+    pii_text = (
+        "mail bob@example.com or +1-555-123-4567, ssn 123-45-6789, "
+        "host 10.0.0.1 end"
+    )
+    clean_text = "no sensitive content here"
+    sdf = spark.createDataFrame(
+        [(1, pii_text), (2, clean_text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in pii_redact(sdf).collect()}
+    assert out[1].n_redacted == 4, out[1]
+    redacted = "mail <EMAIL> or <PHONE>, ssn <SSN_LIKE>, host <IPV4> end"
+    assert out[1].redacted_hash == hashlib.md5(redacted.encode()).hexdigest()
+    assert out[1].redacted_len == len(redacted)
+    assert out[2].n_redacted == 0
+    assert out[2].redacted_hash == hashlib.md5(clean_text.encode()).hexdigest()
+
+
+def test_s6_signature_matches_numpy_and_buckets_consistent(spark):
+    """The integer SRP signature must equal a numpy int64 reference
+    (same quantization, same md5-seeded +-1 matrix), and n_bucket must
+    equal the actual multiplicity of each signature."""
+    from collections import Counter
+
+    import numpy as np
+
+    from ploverdb_spark.catalog import get as _get
+    from ploverdb_spark.operators.dedup import QUANT_SCALE
+    from ploverdb_spark.operators.similarity import srp_weights
+
+    df = _get("s6_signed_projection").fn(spark, SF_ORACLE)
+    got = {r.vec_id: (r.srp_sig, r.n_bucket) for r in df.collect()}
+    W = np.array(srp_weights(16, 64), dtype=np.int64)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            f"{SF_ORACLE}/embeddings.parquet"
+        ).collect()
+    }
+    sigs = {}
+    for vid, v in emb.items():
+        q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
+        s = W @ q
+        sigs[vid] = int(((s >= 0).astype(np.int64) << np.arange(16)).sum())
+    counts = Counter(sigs.values())
+    expected = {vid: (s, counts[s]) for vid, s in sigs.items()}
+    assert got == expected
