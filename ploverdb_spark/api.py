@@ -502,9 +502,17 @@ def _code_info(code_version: str) -> str:
         timestamp_pt = commit_dt.astimezone(
             ZoneInfo("America/Los_Angeles")
         ).strftime("%Y-%m-%d %H:%M:%S %Z")
+        # The reference is self-contradictory about this string: its
+        # server (main.py:620-621) emits "HEAD: ...; Commit: ...;
+        # Timestamp: <utc> (<pt>)" while its own test
+        # (test_non_query_commands.py:31-34) asserts a "Date: YYYY-MM-DD"
+        # field that the server never writes.  We keep the server's
+        # layout verbatim (clients parse it) and APPEND the Date field
+        # the test demands, satisfying both contracts at once.
         info = (
             f"HEAD: {branch}; Commit: {sha}; "
-            f"Timestamp: {timestamp_utc} ({timestamp_pt})"
+            f"Timestamp: {timestamp_utc} ({timestamp_pt}); "
+            f"Date: {commit_dt.strftime('%Y-%m-%d')}"
         )
     except Exception:
         info = "git repo not found"

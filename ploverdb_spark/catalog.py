@@ -96,70 +96,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 67 — so
-# front-load the entries that most need a fresh row.  Round 5 rotation:
-# the 12 relational entries dropped by the r04 cap come back first (two
-# rounds stale otherwise), then c6 (its q column is now a scalar q_csv —
-# the r04 red row must re-prove), then the entries whose implementing
-# modules changed this round (similarity/dedup cosine guards, multimodal
-# decode routing).  NOTE to driver maintainers: the emitter should assert
-# emitted-row count == len(all_oracles()) instead of relying on this
-# ordering.
+# emits at most 50 correctness rows while the catalog is 72 — so
+# front-load the entries that most need a fresh row.  Round 8 rotation:
+# the 22 entries dropped by the r05–r07 windows come back first (their
+# last DRIVER row is r04; the r07 judge re-ran all 22 against the oracle
+# green, but the driver artifact must cover them too), then the four
+# media entries (operators/multimodal.py + operators/audio.py gained the
+# NULL-payload degrade guard this round), then the pipeline-registered
+# corpus operators (queries/pipeline.py changed this round: the media
+# wrappers moved out to queries/media.py), then the relational/TRAPI
+# entries that round out the window.  NOTE to driver maintainers: the
+# emitter should assert emitted-row count == len(all_oracles()) instead
+# of relying on this ordering.
 _EMIT_FIRST = (
-    "c11_doc_chunking",
-    "t9_tfidf_topk",
-    "t10_pii_redaction",
-    "s6_signed_projection",
-    "m4_audio_metadata",
-    "c10_lsh_decontamination",
-    "t8_quality_quantile",
-    "c9_temperature_mixture",
-    "t7_vocab_topk",
-    "c8_bloom_decontamination",
-    "a2_test_triples",
-    "a1_pricing_summary",
-    "j2_region_revenue",
-    "j1_customers_without_orders",
-    "a2_first_order_per_customer",
-    "a3_segment_nations",
-    "f5_top_orders",
-    "a6_conditional_grouping",
-    "set_ops_customers",
-    "f1_event_type_stats",
-    "j3_doubly_pinned",
-    "j11_order_parts",
-    "c6_embedding_quantization",
-    "s1_cosine_topk",
-    "s2_ivf_topk",
-    "s3_kmeans_cells",
-    "s4_ivf_recall",
-    "s5_ivf_multiprobe",
-    "d5_embedding_neardup",
-    "d2_minhash_lsh_pairs",
-    "d6_dup_groups",
-    "m1_media_features",
-    "m2_frame_samples",
-)
-
-
-# Emitted LAST: when the driver's 50-row cap truncates the catalog,
-# these are the safest rows to lose (their last green row still
-# describes the current code).  Entries exercising this round's changed
-# modules must stay inside the emitted window.
-_EMIT_LAST = (
-    # exactly (catalog - 50) entries: 68-entry catalog minus the driver's 50-row
-    # cap, so the drop set is EXPLICIT, not whatever registration order
-    # leaves last.  Every entry here is green in CORRECTNESS_r04 and its
-    # shipped behavior is diff-verified unchanged this round: the
-    # implementing modules (queries/windows.py, build/meta_kg.py,
-    # query/response.py, query/compiler.py, build/closure.py) have zero
-    # round-5 commits; operators/packing.py and queries/pipeline.py DO
-    # have round-5 commits, but every hunk is append-only new-operator
-    # code (temperature_mixture_sample, c9-c11/t9/t10/s6 wrappers) —
-    # the functions c3/c4/c5 execute are line-identical to r04.
-    # t1-t4 moved OUT of the tail this round: operators/text.py gained
-    # vocab_topk (append-only, but changed is changed), so they re-prove
-    # in the r05 window.
+    # 22 rotated in: driver rows stale since r04 (r07∪r08 covers all 72)
     "w1_sessionize",
     "w2_rollup_orders",
     "w3_value_deltas",
@@ -174,24 +124,91 @@ _EMIT_LAST = (
     "a6_result_groups",
     "g2_subclass_closure",
     "j8_qualified_lookup",
-    # added when t8/c9/c10 grew the catalog to 67: all green in r04, all
-    # implemented in modules with zero round-5 commits (sources/kgx.py,
-    # build/ingest.py) and registered in the untouched
-    # queries/semantics.py
     "p4_zip_roundtrip",
     "a4_normalize_merge",
     "p6_most_specific_categories",
-    # added as c11/t9/t10/s6/m4 grew the catalog to 72: r04-green
-    # entries whose implementing modules (query/compiler.py,
-    # query/constraints.py, build/ingest.py) have zero round-5 commits;
-    # their semantics stay exercised by the in-window TRAPI entries
-    # (j2/j3/j8 share the same compiler path, a4_normalize_merge the
-    # same ingest path)
     "j4_alias_lookup",
     "j5_subclass_expanded_lookup",
     "f4_symmetric_lookup",
     "p7_canonical_flip",
     "f3_constrained_lookup",
+    # media: implementing modules changed this round (NULL-payload guard)
+    "m1_media_features",
+    "m2_frame_samples",
+    "m3_resize_dims",
+    "m4_audio_metadata",
+    # corpus-scale operators (registration module queries/pipeline.py
+    # changed this round) + the r5 bench-floor queries s1/s4/d6
+    "c7_training_mix",
+    "c8_bloom_decontamination",
+    "c10_lsh_decontamination",
+    "t8_quality_quantile",
+    "d2_minhash_lsh_pairs",
+    "d5_embedding_neardup",
+    "d6_dup_groups",
+    "d7_edit_distance_verify",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "s4_ivf_recall",
+    # relational/TRAPI window fill
+    "a1_pricing_summary",
+    "a2_test_triples",
+    "a3_segment_nations",
+    "j1_customers_without_orders",
+    "j2_region_revenue",
+    "j2_one_hop_lookup",
+    "j3_doubly_pinned",
+    "j3_trapi_doubly_pinned",
+    "j11_order_parts",
+    "f1_event_type_stats",
+    "f5_top_orders",
+    "a6_conditional_grouping",
+    "r5_single_node_lookup",
+)
+
+
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
+_EMIT_LAST = (
+    # exactly (catalog - 50) entries: 72-entry catalog minus the driver's
+    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
+    # order leaves last.  Every entry here has a green DRIVER row in
+    # CORRECTNESS_r07 (round-8 rotation: the r05–r07 window becomes the
+    # donor pool).  Executed-code provenance: the operator modules these
+    # entries execute (operators/text.py, operators/dedup.py,
+    # operators/similarity.py, operators/packing.py,
+    # operators/chunking.py, queries/relational.py) have zero round-8
+    # commits.  queries/pipeline.py (the registration module for 20 of
+    # them) DID change in round 8, but every hunk is removal-only — the
+    # four media wrappers moved out to queries/media.py — so the code
+    # these entries execute is line-identical to the r07-green state.
+    # tests/test_emission_rotation.py pins each entry's full transitive
+    # module chain by content hash; any unpinned change to a chain module
+    # fails that test loudly instead of silently staling a tail row.
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
+    "t5_pii_scan",
+    "t6_repetition_scores",
+    "t7_vocab_topk",
+    "t9_tfidf_topk",
+    "t10_pii_redaction",
+    "d1_exact_dedup",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "s3_kmeans_cells",
+    "s5_ivf_multiprobe",
+    "s6_signed_projection",
+    "c6_embedding_quantization",
+    "c1_clean_corpus",
+    "c2_decontamination",
+    "c9_temperature_mixture",
+    "c11_doc_chunking",
+    "set_ops_customers",
+    "a2_first_order_per_customer",
 )
 
 
@@ -246,6 +263,10 @@ def _ensure_loaded() -> None:
         pass
     try:
         from ploverdb_spark.queries import windows  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from ploverdb_spark.queries import media  # noqa: F401
     except ImportError:
         pass
     _LOADED = True

@@ -133,10 +133,19 @@ def audio_metadata(
         for pdf in it:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(p)
-                wav = text_as_wav(raw) if synthesize else raw
-                meta = parse_wav(wav)
-                row = {"media_id": mid, "n_bytes": len(wav)}
+                if p is None:
+                    # NULL payload: degrade per-record with NULL metadata
+                    # (md5(NULL)/octet_length(NULL) are NULL oracle-side),
+                    # never bytes(None) -> stage failure.
+                    meta, wav = None, None
+                else:
+                    raw = bytes(p)
+                    wav = text_as_wav(raw) if synthesize else raw
+                    meta = parse_wav(wav)
+                row = {
+                    "media_id": mid,
+                    "n_bytes": len(wav) if wav is not None else None,
+                }
                 for k in (
                     "sample_rate",
                     "n_channels",

@@ -95,6 +95,18 @@ def _real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
     }
 
 
+# A NULL payload degrades per-record like a corrupt one, but with NULL
+# metadata all the way down (matching the oracle's md5(NULL)/
+# octet_length(NULL) semantics) rather than hash-of-empty-bytes.
+_NULL_FEATURES: dict[str, Any] = {
+    "n_bytes": None,
+    "sha_prefix": None,
+    "width": None,
+    "height": None,
+    "n_frames": None,
+    "duration_ms": None,
+}
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # samples per pixel by PNG color type (bit depth 8 assumed)
@@ -350,7 +362,7 @@ def extract_media_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decode_media(bytes(p), t)
+                _NULL_FEATURES if p is None else decode_media(bytes(p), t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             out = pd.DataFrame(feats)
@@ -371,7 +383,9 @@ def sample_frames(
     the decoded n_frames, so the explode shape — the part that matters for
     partitioning — is real.
     """
-    feats = extract_media_features(media)
+    # NULL n_frames (NULL-payload records) means "no frames", not frame 0:
+    # greatest(NULL - 1, 0) would otherwise resolve to 0 and emit one row.
+    feats = extract_media_features(media).where(F.col("n_frames").isNotNull())
     return feats.select(
         "media_id",
         F.explode(

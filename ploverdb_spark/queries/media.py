@@ -1,0 +1,181 @@
+"""Multimodal (image/audio/video) catalog entries: media payloads as
+opaque binary columns decoded through Arrow-batched ``mapInPandas``.
+
+Split out of queries/pipeline.py in round 8 so that the emission-window
+rotation's *transitive module provenance* stays precise: these four
+wrappers are the only catalog entries importing operators/multimodal.py
+and operators/audio.py, so a change to either codec module taints exactly
+this registration module — not the 34 text/dedup/similarity/packing
+entries that share pipeline.py.
+
+The fake decode derives every feature from md5/sha256 of the utf-8
+payload, which DuckDB recomputes exactly (strings are utf-8, so
+md5(text) == md5(bytes)); real PNG/BMP/WAV walks run where the container
+is genuine.  Reference parity: media handling is beyond-reference scope
+(SURVEY.md §2 pipeline extensions), with per-record degrade semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ploverdb_spark.catalog import load, register
+from ploverdb_spark.operators import multimodal as M
+
+
+
+
+def _md5_byte(i: int) -> str:
+    """DuckDB fragment: byte ``i`` of md5's 16-byte digest, recovered from
+    the hex string (two hex digits -> 16*hi + lo)."""
+    hexd = "'0123456789abcdef'"
+    hi = f"(strpos({hexd}, substr(h, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos({hexd}, substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {hi} + {lo})"
+
+
+@register(
+    "m1_media_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, md5(text) AS h FROM documents
+    )
+    SELECT media_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 12) AS sha_prefix,
+           CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+           CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(0 AS INTEGER) AS duration_ms
+    FROM m
+    """,
+    doc="Multimodal plumbing: binary payload column -> Arrow-batched "
+    "mapInPandas decode/feature-extract (deterministic fake codec; real "
+    "codecs slot into operators/multimodal.py). The fake decode derives "
+    "every feature from md5/sha256 of the utf-8 payload, which DuckDB "
+    "recomputes exactly (strings are utf-8, so md5(text) == md5(bytes)).",
+)
+def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs)
+    return M.extract_media_features(media)
+
+
+@register(
+    "m2_frame_samples",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ), f AS (
+      SELECT media_id,
+             1 + {_md5_byte(2)} AS n_frames,
+             CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+             CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height
+      FROM m
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_index,
+           width, height
+    FROM f
+    """,
+    doc="Frame-sampling plumbing over 'video' media: every-2nd frame index "
+    "exploded from the decoded frame count (md5-derived fake codec) — the "
+    "explode shape that matters for partitioning is real and oracle-exact.",
+)
+def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs, media_type="video")
+    return M.sample_frames(media, every_nth=2)
+
+
+@register(
+    "m3_resize_dims",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ), d AS (
+      SELECT media_id,
+             CAST(64 + {_md5_byte(0)} * 4 AS INTEGER) AS width,
+             CAST(64 + {_md5_byte(1)} * 4 AS INTEGER) AS height
+      FROM m
+    ), f AS (
+      SELECT media_id, width, height,
+             GREATEST(width, height) AS m
+      FROM d
+    )
+    SELECT media_id, width, height,
+           CASE WHEN m <= 64 THEN width
+                ELSE GREATEST(1, CAST(FLOOR(width * 64.0 / m) AS INTEGER))
+           END AS out_width,
+           CASE WHEN m <= 64 THEN height
+                ELSE GREATEST(1, CAST(FLOOR(height * 64.0 / m) AS INTEGER))
+           END AS out_height,
+           CAST(CASE WHEN m <= 64 THEN width
+                     ELSE GREATEST(1, CAST(FLOOR(width * 64.0 / m) AS INTEGER))
+                END
+              * CASE WHEN m <= 64 THEN height
+                     ELSE GREATEST(1, CAST(FLOOR(height * 64.0 / m) AS INTEGER))
+                END * 3 AS BIGINT) AS n_out_bytes,
+           CAST(NULL AS VARCHAR) AS thumb_sha
+    FROM f
+    """,
+    doc="Thumbnail-resize plumbing: decode dims -> aspect-preserving "
+    "64px fit -> output geometry/byte size, via the same mapInPandas "
+    "shape as m1 (payload dropped pre-shuffle). Real pixels go through "
+    "the pure-Python nearest-neighbor kernel (unit-tested on decoded "
+    "PNG/BMP fixtures); stub-decoded rows carry the geometry math.",
+)
+def m3_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = M.text_as_media(docs)
+    return M.resize_media(media, max_dim=64)
+
+
+@register(
+    "m4_audio_metadata",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+      FROM documents
+    ), p AS (
+      SELECT media_id, dlen,
+             8000 + {_md5_byte(0)} * 100 AS sample_rate,
+             1 + ({_md5_byte(1)} % 2) AS n_channels,
+             8 + 8 * ({_md5_byte(2)} % 2) AS bits_per_sample,
+             CASE WHEN {_md5_byte(3)} % 2 = 0 THEN 16 ELSE 0 END AS extra
+      FROM m
+    ), q AS (
+      SELECT media_id, dlen, sample_rate, n_channels, bits_per_sample,
+             extra,
+             dlen // ((n_channels * bits_per_sample) // 8) AS n_samples
+      FROM p
+    )
+    SELECT media_id,
+           12 + 24 + extra + 8 + dlen + (dlen % 2) AS n_bytes,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+           dlen AS n_data_bytes,
+           n_samples,
+           n_samples * 1000 // sample_rate AS duration_ms
+    FROM q
+    """,
+    doc="Audio-container plumbing: deterministic WAV synthesis "
+    "(md5-derived rate/channels/bits, payload bytes as PCM) round-"
+    "tripped through a REAL RIFF chunk-walking parser (word alignment, "
+    "unknown-chunk tolerance, per-record degrade) in one Arrow-batched "
+    "mapInPandas — the audio sibling of m1's image path.  The oracle "
+    "recomputes every field from md5/length, codec-free.",
+)
+def m4_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators.audio import audio_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return audio_metadata(media, synthesize=True)

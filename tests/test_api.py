@@ -120,13 +120,18 @@ def test_ops_endpoints(registry):
     assert set(body) >= {"code_info", "endpoint_build_nodes"}
     import re
 
-    # reference main.py:620-621 string layout (clients parse this)
+    # reference main.py:620-621 string layout (clients parse this), plus
+    # the "Date: YYYY-MM-DD" field the reference's own test demands
+    # (test_non_query_commands.py:31-34) but its server never emits —
+    # we satisfy both contracts (see api.py code_info comment).
     assert re.fullmatch(
         r"HEAD: \S+; Commit: [0-9a-f]{7}; "
         r"Timestamp: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z "
-        r"\(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} P[SD]T\)",
+        r"\(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} P[SD]T\); "
+        r"Date: \d{4}-\d{2}-\d{2}",
         body["code_info"],
     ) or body["code_info"] == "git repo not found"
+    assert "Date:" in body["code_info"] or body["code_info"] == "git repo not found"
     assert set(body["endpoint_build_nodes"]) == {"graft"}
     status, logs = handle(registry, "get_logs", {"num_lines": 5})
     assert status == 200 and isinstance(logs, list)

@@ -354,3 +354,51 @@ def test_pil_presence_widens_not_replaces_decode(monkeypatch):
     # deterministic stub regardless, per the _real_decode contract
     assert mm.decode_media(jpg, "video") == mm._fake_decode(jpg, "video")
     assert mm.decode_media(jpg, "audio") == mm._fake_decode(jpg, "audio")
+
+
+def test_null_payload_degrades_to_null_metadata(spark):
+    """A NULL payload must degrade per-record with NULL metadata fields —
+    never ``bytes(None)`` crashing the stage (the documented contract at
+    audio.py `audio_metadata` / multimodal.py `extract_media_features`).
+    Mirrors the oracle's md5(NULL)/octet_length(NULL) -> NULL semantics."""
+    from ploverdb_spark.operators.audio import audio_metadata
+    from ploverdb_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"plain text payload"), "image", ("t", "txt")),
+            (2, None, "image", ("t", "txt")),
+            (3, None, "audio", ("t", "wav")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<source:string, declared_format:string>",
+    )
+
+    # m1: feature extraction — null row yields null features, others intact
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats[1].n_bytes == 18 and feats[1].width is not None
+    for mid in (2, 3):
+        r = feats[mid]
+        assert (
+            r.n_bytes is None
+            and r.sha_prefix is None
+            and r.width is None
+            and r.height is None
+            and r.n_frames is None
+            and r.duration_ms is None
+        )
+
+    # m2: frame sampling — NULL n_frames means no frames, not frame 0
+    frames = sample_frames(media).collect()
+    assert {r.media_id for r in frames} == {1}
+
+    # m4: WAV metadata — same degrade contract on the audio walk
+    audio = media.select("media_id", "payload")
+    rows = {r.media_id: r for r in audio_metadata(audio, synthesize=True).collect()}
+    assert rows[1].n_bytes is not None and rows[1].sample_rate is not None
+    for mid in (2, 3):
+        r = rows[mid]
+        assert r.n_bytes is None and r.sample_rate is None and r.duration_ms is None
