@@ -181,9 +181,11 @@ _EMIT_LAST = (
     # operators/similarity.py, operators/packing.py,
     # operators/chunking.py, queries/relational.py) have zero round-8
     # commits.  queries/pipeline.py (the registration module for 20 of
-    # them) DID change in round 8, but every hunk is removal-only — the
-    # four media wrappers moved out to queries/media.py — so the code
-    # these entries execute is line-identical to the r07-green state.
+    # them) DID change in round 8, but each hunk leaves the tail
+    # entries' executed code line-identical to the r07-green state: the
+    # four media wrappers moved out to queries/media.py (removal-only)
+    # and c7_training_mix — in _EMIT_FIRST, so re-measured this round —
+    # swapped its repetition filter to a pushdown-barrier shape.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.

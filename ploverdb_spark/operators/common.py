@@ -80,12 +80,16 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
 
     The gate uses Catalyst's size estimate (``optimizedPlan().stats()``
     — a plan-time constant, no job, no plan-to-RDD conversion like the
-    old ``df.rdd.getNumPartitions()`` probe): if the estimated input is
-    already large enough that the scan will emit >= target splits
-    (``target * spark.sql.files.maxPartitionBytes``), the repartition is
-    skipped.  At real scale the input always clears that bar, so this is
-    a no-op there — the condition, not the repartition, is the scale
-    story.  (Measured at sf0.1: 2.3s -> 1.6s for the LSH pair plan.)
+    old ``df.rdd.getNumPartitions()`` probe): the scan will emit roughly
+    ``est_bytes / spark.sql.files.maxPartitionBytes`` splits, and once
+    that's at least HALF the target parallelism the repartition is
+    skipped — at >= target/2 natural splits the cores are already mostly
+    busy and the all-to-all shuffle costs more than the residual idle
+    cores (the earlier ``>= target`` form repartitioned a ~3 GiB input
+    emitting ~24 of 32 splits for marginal gain).  At real scale the
+    input always clears the bar, so this is a no-op there — the
+    condition, not the repartition, is the scale story.  (Measured at
+    sf0.1: 2.3s -> 1.6s for the LSH pair plan.)
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
@@ -108,6 +112,7 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
         # here would collapse a multi-TB scan to ~defaultParallelism giant
         # partitions.  Worst case we lose a small-input optimization.
         return df
-    if est_bytes >= target * max_split:
+    est_splits = est_bytes // max_split
+    if est_splits >= max(1, target // 2):
         return df
     return df.repartition(target)

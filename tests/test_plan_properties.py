@@ -525,6 +525,17 @@ def test_fan_out_narrow_input_gate(spark):
     object.__setattr__(broken, "_jdf", Broken())
     assert fan_out_narrow_input(broken, min_partitions=8) is broken
 
+    # an input whose natural split count is already >= target/2 is
+    # passed through untouched (the repartition would cost more than the
+    # residual idle cores) — simulate by shrinking the split size so the
+    # same small file "scans as" many splits
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        assert fan_out_narrow_input(docs, min_partitions=8) is docs
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
 
 def test_c11_chunking_is_shuffle_free_and_window_exact(spark):
     """Chunking must be a pure narrow plan (zero Exchanges — explode is
