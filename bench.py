@@ -22,10 +22,21 @@ def _progress(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _host_load() -> float:
+    try:
+        with open("/proc/loadavg", encoding="utf-8") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Recorded so every bench artifact can prove (or disprove) it ran on a
+    # quiet host; the repo's methodology gates regression reads on < 2.5.
+    load0 = _host_load()
 
     from ploverdb_spark.catalog import all_queries
     from ploverdb_spark.session import get_spark
@@ -69,6 +80,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_load_avg_start": load0,
+                "host_load_avg_end": _host_load(),
             }
         )
     )

@@ -96,7 +96,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 72 — so
+# emits at most 50 correctness rows while the catalog is 73 — so
 # front-load the entries that most need a fresh row.  Round 8 rotation:
 # the 22 entries dropped by the r05–r07 windows come back first (their
 # last DRIVER row is r04; the r07 judge re-ran all 22 against the oracle
@@ -137,6 +137,7 @@ _EMIT_FIRST = (
     "m2_frame_samples",
     "m3_resize_dims",
     "m4_audio_metadata",
+    "m5_flac_metadata",  # NEW this round: needs its first driver row
     # corpus-scale operators (registration module queries/pipeline.py
     # changed this round) + the r5 bench-floor queries s1/s4/d6
     "c7_training_mix",
@@ -153,7 +154,6 @@ _EMIT_FIRST = (
     # relational/TRAPI window fill
     "a1_pricing_summary",
     "a2_test_triples",
-    "a3_segment_nations",
     "j1_customers_without_orders",
     "j2_region_revenue",
     "j2_one_hop_lookup",
@@ -172,7 +172,7 @@ _EMIT_FIRST = (
 # describes the current code).  Entries exercising this round's changed
 # modules must stay inside the emitted window.
 _EMIT_LAST = (
-    # exactly (catalog - 50) entries: 72-entry catalog minus the driver's
+    # exactly (catalog - 50) entries: 73-entry catalog minus the driver's
     # 50-row cap, so the drop set is EXPLICIT, not whatever registration
     # order leaves last.  Every entry here has a green DRIVER row in
     # CORRECTNESS_r07 (round-8 rotation: the r05–r07 window becomes the
@@ -211,6 +211,10 @@ _EMIT_LAST = (
     "c11_doc_chunking",
     "set_ops_customers",
     "a2_first_order_per_customer",
+    # moved from _EMIT_FIRST when m5_flac_metadata took its window slot:
+    # green DRIVER row in CORRECTNESS_r07; chain (queries/relational.py)
+    # unchanged this round.
+    "a3_segment_nations",
 )
 
 

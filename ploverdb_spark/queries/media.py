@@ -179,3 +179,57 @@ def m4_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     return audio_metadata(media, synthesize=True)
+
+
+@register(
+    "m5_flac_metadata",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+      FROM documents
+    ), p AS (
+      SELECT media_id, h, dlen,
+             8000 + {_md5_byte(0)} * 100 AS sample_rate,
+             1 + ({_md5_byte(1)} % 2) AS n_channels,
+             8 + 8 * ({_md5_byte(2)} % 2) AS bits_per_sample,
+             CASE WHEN {_md5_byte(3)} % 2 = 0 THEN 20 ELSE 0 END AS pad_bytes,
+             CASE WHEN {_md5_byte(3)} % 2 = 0 THEN 2 ELSE 1 END AS nblocks
+      FROM m
+    ), q AS (
+      SELECT media_id, h, dlen, sample_rate, n_channels, bits_per_sample,
+             pad_bytes, nblocks,
+             dlen // ((n_channels * bits_per_sample) // 8) AS total_samples
+      FROM p
+    )
+    SELECT media_id,
+           4 + 4 + 34 + pad_bytes + dlen AS n_bytes,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+           total_samples,
+           total_samples * 1000 // sample_rate AS duration_ms,
+           CAST(nblocks AS INTEGER) AS n_meta_blocks,
+           dlen AS n_frame_bytes,
+           substr(h, 1, 12) AS md5_prefix
+    FROM q
+    """,
+    doc="Second real audio-container walk (VERDICT r5 item #7): "
+    "deterministic FLAC synthesis (md5-derived rate/channels/bits, "
+    "payload bytes as the frame section, md5(payload) as STREAMINFO's "
+    "audio-MD5 field) round-tripped through a REAL metadata-block walker "
+    "(fLaC magic, STREAMINFO-first rule, last-block flag, unknown-block "
+    "tolerance, per-record degrade) in one Arrow-batched mapInPandas.  "
+    "The oracle recomputes every field from md5/length, codec-free: "
+    "n_bytes = 4 magic + 38 STREAMINFO block + optional 20-byte PADDING "
+    "block + frame bytes.",
+)
+def m5_flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ploverdb_spark.operators.audio import flac_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return flac_metadata(media, synthesize=True)

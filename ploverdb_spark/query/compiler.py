@@ -215,20 +215,33 @@ class TrapiEngine:
     def canonicalize_ids(self, ids: list[str]) -> dict[str, str]:
         """R1/J4 (plover.py:1797-1804): map query ids through the synonym
         table — driver map when under the size guard (zero Spark actions),
-        else a join (the id list is query-sized, so collecting the join
-        result is safe; the synonym table itself never collects)."""
+        else a pushed-down filter + collect.
+
+        The over-guard fallback is deliberately NOT a join: joining a tiny
+        id literal against the synonym table streams the entire table per
+        request (at 7M synonyms that was the dominant per-batch cost of a
+        /neighbors sweep — a full scan, or worse a per-request shuffle,
+        for a 100-row answer).  Filtering the bucketed+sorted table with
+        the same between+IN shape as ``pushdown_id_filter`` prunes to the
+        matching buckets/row-groups, and ids missing from the table simply
+        fall back to themselves on the driver."""
         if not ids:
             return {}
         syn_map = self._get_synonym_map()
         if syn_map is not None:
             return {i: syn_map.get(i, i) for i in ids}
-        ids_df = self._tiny_df([(i,) for i in ids], "alias_id string")
-        rows = (
-            ids_df.join(self.kg.id_synonyms, on="alias_id", how="left")
-            .select("alias_id", "preferred_id")
-            .collect()
-        )
-        return {r.alias_id: (r.preferred_id or r.alias_id) for r in rows}
+        syn = self.kg.id_synonyms
+        if len(ids) <= MAX_ISIN_PUSHDOWN:
+            syn = pushdown_id_filter(syn, "alias_id", ids)
+        else:
+            syn = syn.join(
+                F.broadcast(self._tiny_df([(i,) for i in ids], "alias_id string")),
+                on="alias_id",
+                how="left_semi",
+            )
+        rows = syn.select("alias_id", "preferred_id").collect()
+        found = {r.alias_id: r.preferred_id for r in rows if r.preferred_id}
+        return {i: found.get(i, i) for i in ids}
 
     def _conglomerate_descendant_index(self) -> dict[str, set[str]]:
         """G4 (plover.py:1486-1519): ancestor qualifier-combo string ->

@@ -332,11 +332,17 @@ def pathfinder_sweep(
                     seen.add(nb)
                     pool_ids.append(nb)
     lat_sorted = sorted(lat)
+    # first batch pays one-time costs (plan/codegen priming, first bucket
+    # reads); repeat batches are the steady-state Pathfinder-build cost —
+    # report both so a slow warmup can't hide behind (or inflate) the p50
+    repeat = sorted(lat[1:]) or lat_sorted
     return {
         "n_queries": n_queries,
         "batch_size": batch,
         "p50_sec": round(statistics.median(lat_sorted), 3),
         "p95_sec": round(lat_sorted[int(0.95 * (len(lat_sorted) - 1))], 3),
+        "first_batch_sec": round(lat[0], 3),
+        "repeat_p50_sec": round(statistics.median(repeat), 3),
         "total_sec": round(sum(lat), 1),
         "neighbors_returned": total_neighbors,
         "neighbors_per_sec": round(total_neighbors / max(sum(lat), 1e-9)),
@@ -416,6 +422,55 @@ def burst_http(registry, rng_seed: int = 7, port: int = 9993) -> dict:
     stats = _burst_stats([tuple(o) for o in outcomes], wall)
     stats["transport"] = "http"
     return stats
+
+
+def jvm_current_rss_gb(spark) -> float | None:
+    """CURRENT resident set (VmRSS) of the driver JVM — unlike VmHWM this
+    can fall, so back-to-back bursts can prove memory returns to rest."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid  # noqa: SLF001
+        with open(f"/proc/{pid}/status", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / (1024**2), 1)
+    except Exception:
+        return None
+    return None
+
+
+def burst_endurance(registry, spark, n_bursts: int = 5) -> dict:
+    """Endurance: ``n_bursts`` back-to-back 100-request HTTP bursts against
+    ONE serving process (fresh request mix per burst via the seed).  A
+    serving leak shows up as p95 creeping burst-over-burst or RSS ratcheting
+    instead of returning to rest; the bars are per-burst p95 flat within
+    ±20% of the median and final RSS within 10% of the first burst's."""
+    per_burst = []
+    rss = []
+    for i in range(n_bursts):
+        stats = burst_http(registry, rng_seed=7 + i, port=9993 + i)
+        r = jvm_current_rss_gb(spark)
+        rss.append(r)
+        per_burst.append(
+            {
+                "p50_sec": stats["latency_p50_sec"],
+                "p95_sec": stats["latency_p95_sec"],
+                "n_504": stats["n_504"],
+                "status_histogram": stats["status_histogram"],
+                "rss_gb_after": r,
+            }
+        )
+        print(f"# endurance burst {i + 1}/{n_bursts}: {per_burst[-1]}", flush=True)
+    p95s = [b["p95_sec"] for b in per_burst]
+    med = statistics.median(p95s)
+    out = {
+        "n_bursts": n_bursts,
+        "per_burst": per_burst,
+        "p95_spread_pct": round(100 * (max(p95s) - min(p95s)) / max(med, 1e-9), 1),
+        "total_504": sum(b["n_504"] for b in per_burst),
+    }
+    if rss[0] and rss[-1]:
+        out["rss_final_vs_first_pct"] = round(100 * (rss[-1] - rss[0]) / rss[0], 1)
+    return out
 
 
 def burst_client_main(url: str, reqfile: str) -> None:
@@ -594,6 +649,12 @@ def main() -> None:
         report["burst"] = burst(registry)
     else:
         report["burst"] = burst_http(registry)
+    if not os.environ.get("SCALEBENCH_NO_ENDURANCE"):
+        report["burst_endurance"] = burst_endurance(registry, spark)
+        print(
+            f"# burst endurance: {json.dumps(report['burst_endurance'])}",
+            flush=True,
+        )
     # sustained sequential throughput AFTER the burst: the pool of 8
     # workers is warm and the id pool mixes hot hubs with cold ids
     report["pathfinder"] = pathfinder_sweep(registry)
@@ -623,7 +684,16 @@ local[{report["cpus"]}], single JVM, {os.environ.get("SPARK_GRAFT_DRIVER_MEM")} 
 | Burst: HTTP statuses | {b["status_histogram"]} | 200s (+503 backpressure ok) |
 | Burst: p50 / p95 / max latency | {b["latency_p50_sec"]} / {b["latency_p95_sec"]} / {b["latency_max_sec"]} s | p95 < 60 s client timeout |
 | Pathfinder sweep p50 / p95 | {report["pathfinder"].get("p50_sec")} / {report["pathfinder"].get("p95_sec")} s | interactive |
+| Pathfinder first / repeat-p50 batch | {report["pathfinder"].get("first_batch_sec")} / {report["pathfinder"].get("repeat_p50_sec")} s | interactive |
 """
+    e = report.get("burst_endurance")
+    if e:
+        run_block += (
+            f"| Endurance: {e['n_bursts']}x bursts, p95 spread | "
+            f"{e['p95_spread_pct']}% (504s: {e['total_504']}) | flat ±20%, 0 allowed |\n"
+            f"| Endurance: final RSS vs first burst | "
+            f"{e.get('rss_final_vs_first_pct')}% | within 10% |\n"
+        )
     with open("SCALEBENCH.md", "a", encoding="utf-8") as f:
         f.write(run_block)
     print("# appended run record to SCALEBENCH.md", flush=True)

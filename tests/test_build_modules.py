@@ -263,6 +263,29 @@ def test_build_uses_resolver_when_no_equiv_arrays(spark):
     eng = TrapiEngine(kg, kp_infores_curie="infores:test")
     assert eng.canonicalize_ids(["OLD:1"]) == {"OLD:1": "CHEM:1"}
 
+    # over-guard fallback (synonym table too big for a driver map): a
+    # pushed-down filter + collect, NEVER a per-request full-table join —
+    # same mapping, ids missing from the table fall back to themselves
+    eng_big = TrapiEngine(
+        kg, kp_infores_curie="infores:test", driver_map_max_rows=0
+    )
+    assert eng_big.canonicalize_ids(["OLD:1", "NOPE:9"]) == {
+        "OLD:1": "CHEM:1",
+        "NOPE:9": "NOPE:9",
+    }
+    # and the >MAX_ISIN_PUSHDOWN shape (left-semi broadcast) agrees
+    from ploverdb_spark.query import compiler as qc
+
+    orig = qc.MAX_ISIN_PUSHDOWN
+    qc.MAX_ISIN_PUSHDOWN = 1
+    try:
+        assert eng_big.canonicalize_ids(["OLD:1", "NOPE:9"]) == {
+            "OLD:1": "CHEM:1",
+            "NOPE:9": "NOPE:9",
+        }
+    finally:
+        qc.MAX_ISIN_PUSHDOWN = orig
+
 
 # -- meta KG (A1-A3) --------------------------------------------------------
 

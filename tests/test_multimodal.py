@@ -402,3 +402,79 @@ def test_null_payload_degrades_to_null_metadata(spark):
     for mid in (2, 3):
         r = rows[mid]
         assert r.n_bytes is None and r.sample_rate is None and r.duration_ms is None
+
+    # m5: FLAC metadata — same degrade contract on the FLAC walk
+    from ploverdb_spark.operators.audio import flac_metadata
+
+    rows = {r.media_id: r for r in flac_metadata(audio, synthesize=True).collect()}
+    assert rows[1].sample_rate is not None and rows[1].md5_prefix is not None
+    for mid in (2, 3):
+        r = rows[mid]
+        assert r.n_bytes is None and r.sample_rate is None and r.md5_prefix is None
+
+
+def test_flac_container_roundtrip():
+    """build_flac emits a spec-correct container that parse_flac walks
+    back exactly; the synthesis path's parameters match the m5 oracle's
+    md5-derived math (queries/media.py)."""
+    import hashlib
+
+    from ploverdb_spark.operators.audio import (
+        build_flac,
+        parse_flac,
+        text_as_flac,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog" * 7
+    d = hashlib.md5(payload).digest()
+    flac = text_as_flac(payload)
+    meta = parse_flac(flac)
+    assert meta is not None
+    assert meta["sample_rate"] == 8000 + d[0] * 100
+    assert meta["n_channels"] == 1 + (d[1] % 2)
+    assert meta["bits_per_sample"] == 8 + 8 * (d[2] % 2)
+    block_align = meta["n_channels"] * meta["bits_per_sample"] // 8
+    assert meta["total_samples"] == len(payload) // block_align
+    assert meta["duration_ms"] == meta["total_samples"] * 1000 // meta["sample_rate"]
+    assert meta["n_meta_blocks"] == (2 if d[3] % 2 == 0 else 1)
+    assert meta["n_frame_bytes"] == len(payload)
+    assert meta["md5_prefix"] == d.hex()[:12]
+    # oracle n_bytes math: magic + STREAMINFO block + optional PADDING + frames
+    pad = 20 if d[3] % 2 == 0 else 0
+    assert len(flac) == 4 + 4 + 34 + pad + len(payload)
+
+    # explicit both-variants coverage (padding block present and absent)
+    for extra in (False, True):
+        f = build_flac(b"xy" * 10, 44100, 2, 16, 5, d, extra_padding=extra)
+        m = parse_flac(f)
+        assert m and m["sample_rate"] == 44100 and m["n_channels"] == 2
+        assert m["n_meta_blocks"] == (2 if extra else 1)
+        assert m["n_frame_bytes"] == 20
+
+
+def test_flac_corrupt_payloads_degrade():
+    """Every malformed-container class returns None (per-record degrade),
+    never raises: bad magic, truncated STREAMINFO, a non-STREAMINFO first
+    block, a truncated later block, and a missing last-block flag."""
+    import hashlib
+
+    from ploverdb_spark.operators.audio import build_flac, parse_flac
+
+    d = hashlib.md5(b"seed").digest()
+    good = build_flac(b"frames", 16000, 1, 16, 3, d, extra_padding=True)
+    assert parse_flac(good) is not None
+
+    assert parse_flac(b"") is None
+    assert parse_flac(b"flaC" + good[4:]) is None  # wrong magic case
+    assert parse_flac(b"RIFF" + good[4:]) is None  # WAV magic, FLAC parser
+    assert parse_flac(good[:20]) is None  # truncated STREAMINFO body
+    # first block is PADDING instead of STREAMINFO -> spec violation
+    bad_first = b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big") + b"\x00" * 4
+    assert parse_flac(bad_first) is None
+    # STREAMINFO not last, second block header truncated
+    not_last = bytearray(good)
+    not_last[4] = 0x00  # clear last-flag on STREAMINFO
+    assert parse_flac(bytes(not_last[: 4 + 4 + 34 + 2])) is None
+    # zero sample rate inside an otherwise-valid STREAMINFO
+    zero_rate = build_flac(b"", 0, 1, 16, 0, d)
+    assert parse_flac(zero_rate) is None
