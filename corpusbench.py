@@ -208,9 +208,16 @@ def run(n_docs: int, label: str) -> dict:
     # d2: candidate pairs, persisted once for the two downstream verifiers
     # (exactly what a production dedup DAG does: candidates are the
     # expensive artifact, verify+group both reuse them)
+    # xxhash64 hash family: the production configuration at corpus scale —
+    # identical banded-LSH/Bloom DAG shapes (same shuffles, same bucketing,
+    # same hot-key salting) with long hashes folded straight off the token
+    # windows instead of md5-on-strings (the md5 family exists for DuckDB
+    # oracle bit-parity; pytest pins family recall parity on planted dups).
     def d2():
         pairs = D.lsh_candidate_pairs(
-            D.minhash_signatures(docs), distinct=True
+            D.minhash_signatures(docs, hash_family="xxhash64"),
+            distinct=True,
+            hash_family="xxhash64",
         ).persist()
         return {"out_rows": pairs.count(), "_pairs": pairs}
 
@@ -241,19 +248,13 @@ def run(n_docs: int, label: str) -> dict:
     pairs.unpersist()
 
     def c8():
-        toks = docs.select(
-            "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("__toks")
-        )
-        grams = toks.select(
-            "doc_id",
-            F.explode(D.shingles_of(F.col("__toks"), k=3)).alias("g"),
-        )
+        grams = D.exploded_word_grams(docs, k=3, as_hash=True)
         bench = grams.where(F.col("doc_id") % 997 == 0).select("g").distinct()
         corpus = grams.where(F.col("doc_id") % 997 != 0).dropDuplicates(
             ["doc_id", "g"]
         )
         flagged = D.bloom_decontaminate(
-            corpus, bench, n_bits=1 << 22, n_hashes=3
+            corpus, bench, n_bits=1 << 22, n_hashes=3, hash_family="xxhash64"
         )
         return {"out_rows": flagged.count()}
 

@@ -229,6 +229,154 @@ def test_lsh_hot_bucket_salted_and_bounded(spark):
     assert capped & expected_hot == expected_capped
 
 
+def _hof_minhash_md5(docs, num_hashes=8):
+    """The historical array-HOF md5 minhash (pre-round-8 shape), kept
+    here as the value reference for the exploded-codegen rewrite."""
+    from pyspark.sql import functions as F
+
+    from ploverdb_spark.operators.dedup import shingles_of
+    from ploverdb_spark.operators.text import ws_tokens
+
+    staged = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("__toks")
+    ).select("doc_id", shingles_of(F.col("__toks")).alias("__sh"))
+
+    def hash_fn(i):
+        salt = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    return staged.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("__sh"), hash_fn(i))).alias(
+                f"minhash_{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def test_minhash_exploded_rewrite_is_value_identical_to_hof(spark):
+    """Round-8 rewrite: minhash moved from interpreted array HOFs to an
+    exploded whole-stage-codegen shape (measured 578s -> 119s for the md5
+    family at 200k docs).  The md5 family's VALUES must be bit-identical
+    to the historical HOF form — that is what keeps the d2 SQL oracle
+    untouched.  Edge rows included: < k tokens (whole-doc gram), empty
+    text, NULL text."""
+    from ploverdb_spark.operators import dedup as D
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "two tokens"),
+        (5, "one"),
+        (6, ""),
+        (7, None),
+        (8, "  spaced   out   tokens   here  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = D.minhash_signatures(docs)
+    old = _hof_minhash_md5(docs)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_minhash_xxhash64_family_recall_parity(spark):
+    """The xxhash64 production family (long hashes folded off the token
+    windows, no gram strings) must recover the same planted near-dup
+    pairs as the md5 oracle family — identical banded-LSH semantics,
+    different hash family."""
+    from ploverdb_spark.operators import dedup as D
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 8
+    rows = []
+    for grp in range(20):
+        seed = f"{base} group{grp}"
+        rows.append((grp * 10, seed))
+        rows.append((grp * 10 + 1, seed + " mutated"))
+    rows += [(1000 + i, f"totally unrelated text {i} " + "x y z " * (i + 3)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs_of(family):
+        sigs = D.minhash_signatures(docs, hash_family=family)
+        return {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidate_pairs(
+                sigs, hash_family=family
+            ).collect()
+        }
+
+    planted = {(g * 10, g * 10 + 1) for g in range(20)}
+    md5_pairs, xx_pairs = pairs_of("md5"), pairs_of("xxhash64")
+    assert planted <= md5_pairs
+    assert planted <= xx_pairs
+
+
+def test_exploded_word_grams_match_shingles_of(spark):
+    """exploded_word_grams (codegen rows) emits the same DISTINCT gram
+    set per doc as shingles_of (HOF arrays) — the value contract that
+    lets gram consumers (bloom build sides, decontamination) swap
+    shapes freely."""
+    from pyspark.sql import functions as F
+
+    from ploverdb_spark.operators import dedup as D
+    from ploverdb_spark.operators.text import ws_tokens
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b"),
+        (3, ""),
+        (4, None),
+        (5, "x  y   z w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exploded = {
+        (r.doc_id, r.g)
+        for r in D.exploded_word_grams(docs).distinct().collect()
+    }
+    hof = {
+        (r.doc_id, r.g)
+        for r in docs.select(
+            "doc_id", ws_tokens(F.lower(F.col("text"))).alias("__t")
+        )
+        .select("doc_id", F.explode(D.shingles_of(F.col("__t"))).alias("g"))
+        .collect()
+    }
+    assert exploded == hof
+
+
+def test_bloom_xxhash64_family_no_false_negatives(spark):
+    """Bloom decontamination over long gram hashes (xxhash64 family):
+    every exactly-contaminated doc must be flagged with at least its
+    exact overlap count — false positives allowed, false negatives
+    never."""
+    from pyspark.sql import functions as F
+
+    from ploverdb_spark.operators import dedup as D
+
+    rows = [(i, f"shared question {i % 3} plus filler text number {i} for padding") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = D.exploded_word_grams(docs, k=3, as_hash=True)
+    bench = grams.where(F.col("doc_id") < 3).select("g").distinct()
+    corpus = grams.where(F.col("doc_id") >= 3).dropDuplicates(["doc_id", "g"])
+    flagged = {
+        r.doc_id: r.n_flagged_grams
+        for r in D.bloom_decontaminate(
+            corpus, bench, n_bits=1 << 16, n_hashes=3, hash_family="xxhash64"
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.n
+        for r in corpus.join(bench, on="g", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for d, n in exact.items():
+        assert flagged.get(d, 0) >= n, (d, n, flagged.get(d))
+
+
 def test_neardup_block_cap_bounds_pair_space(spark):
     """Blocks over max_block_size are md5-hash-split into capped
     sub-blocks: output must exactly equal a Python recomputation of the
