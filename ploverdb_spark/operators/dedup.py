@@ -859,6 +859,7 @@ def lsh_cross_contamination(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: corpus documents that
     share any LSH band bucket with any benchmark document, with the
@@ -879,9 +880,11 @@ def lsh_cross_contamination(
     would flip this to a plain shuffle join — drop the broadcast hint,
     nothing else changes.
     """
-    corpus_b = _lsh_band_keys(corpus_sigs, id_col, num_hashes, band_size)
+    corpus_b = _lsh_band_keys(
+        corpus_sigs, id_col, num_hashes, band_size, hash_family
+    )
     bench_b = _lsh_band_keys(
-        bench_sigs, id_col, num_hashes, band_size
+        bench_sigs, id_col, num_hashes, band_size, hash_family
     ).withColumnRenamed(id_col, "__bench_id")
     joined = corpus_b.join(
         F.broadcast(bench_b), on=["band", "band_key"]
