@@ -468,7 +468,9 @@ def burst_endurance(registry, spark, n_bursts: int = 5) -> dict:
         "p95_spread_pct": round(100 * (max(p95s) - min(p95s)) / max(med, 1e-9), 1),
         "total_504": sum(b["n_504"] for b in per_burst),
     }
-    if rss[0] and rss[-1]:
+    # `is not None` (not truthiness): a 0.0 reading is data, and a failed
+    # /proc read (None) must render as n/a, never the literal "None%".
+    if rss[0] is not None and rss[-1] is not None and rss[0] > 0:
         out["rss_final_vs_first_pct"] = round(100 * (rss[-1] - rss[0]) / rss[0], 1)
     return out
 
@@ -516,7 +518,17 @@ def main() -> None:
 
     serve_only = "serve" in sys.argv[1:]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-    from ploverdb_spark.session import get_spark
+    from ploverdb_spark.session import get_spark, wait_for_quiet_host
+
+    # Self-gate (bounded): wait for 1-min AND 5-min load < 2.5 before any
+    # timed phase, so the run record proves quiet instead of documenting
+    # contention after the fact.  SCALEBENCH_NO_GATE=1 skips.
+    if os.environ.get("SCALEBENCH_NO_GATE"):
+        load_gate = {"gate_passed": None, "waited_sec": 0.0}
+    else:
+        print("# waiting (<= 30 min) for quiet host ...", flush=True)
+        load_gate = wait_for_quiet_host()
+        print(f"# load gate: {load_gate}", flush=True)
 
     spark = get_spark("scalebench")
     kgx_dir, art_dir = f"{WORK_DIR}/kgx", f"{WORK_DIR}/artifacts"
@@ -529,6 +541,8 @@ def main() -> None:
         # load (this process contributes ~0 at start) — record it so runs
         # are interpretable
         "host_load_avg_start": os.getloadavg()[0],
+        "host_load_avg_5m_start": os.getloadavg()[1],
+        "load_gate": load_gate,
     }
 
     if serve_only:
@@ -669,7 +683,7 @@ def main() -> None:
     # record to a trailing run log so every full cycle is preserved.
     b = report["burst"]
     run_block = f"""
-## Appended run record ({time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}, load {report["host_load_avg_start"]:.2f} at launch)
+## Appended run record ({time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}, load {report["host_load_avg_start"]:.2f}/1m {report["host_load_avg_5m_start"]:.2f}/5m at launch, gate={load_gate.get("gate_passed")})
 
 local[{report["cpus"]}], single JVM, {os.environ.get("SPARK_GRAFT_DRIVER_MEM")} heap; burst transport: {b.get("transport", "in-process")}.
 
@@ -688,11 +702,12 @@ local[{report["cpus"]}], single JVM, {os.environ.get("SPARK_GRAFT_DRIVER_MEM")} 
 """
     e = report.get("burst_endurance")
     if e:
+        rss_pct = e.get("rss_final_vs_first_pct")
+        rss_cell = "n/a" if rss_pct is None else f"{rss_pct}%"
         run_block += (
             f"| Endurance: {e['n_bursts']}x bursts, p95 spread | "
             f"{e['p95_spread_pct']}% (504s: {e['total_504']}) | flat ±20%, 0 allowed |\n"
-            f"| Endurance: final RSS vs first burst | "
-            f"{e.get('rss_final_vs_first_pct')}% | within 10% |\n"
+            f"| Endurance: final RSS vs first burst | {rss_cell} | within 10% |\n"
         )
     with open("SCALEBENCH.md", "a", encoding="utf-8") as f:
         f.write(run_block)
