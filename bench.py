@@ -55,6 +55,12 @@ def main() -> None:
 
     spark = get_spark("ploverdb_spark_bench")
     qs = all_queries()
+    # SPARK_GRAFT_BENCH_ONLY="a,b,c": time just those queries (floor
+    # re-checks on a briefly-quiet host shouldn't pay the full catalog)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
 
     # Warmup: prime JVM, codegen, and parquet footer caches.
     for name, fn in qs.items():

@@ -47,7 +47,12 @@ import urllib.request
 N_DOCS = int(os.environ.get("CORPUSBENCH_DOCS", 5_000_000))
 WORK_DIR = os.environ.get("CORPUSBENCH_DIR", "/tmp/corpusbench")
 UI_PORT = int(os.environ.get("CORPUSBENCH_UI_PORT", 4046))
-VOCAB_SIZE = 200
+# 50k tokens (web-corpus order), hash-numbered so generation stays a pure
+# projection.  The round-8 200-word vocab made accidental LSH band
+# collisions dominate candidate growth (d7 shuffle 21x at 10x rows, all
+# rejected by verification) — with ~50k tokens, 3-gram shingle space is
+# ~1.25e14 so candidate volume tracks the PLANTED near-dup density.
+VOCAB_SIZE = 50_000
 SEQ_LEN = 2048
 
 
@@ -130,7 +135,6 @@ def generate_corpus(spark, out_dir: str, n_docs: int) -> dict:
     born distributed, and the only wide op is the final file write."""
     from pyspark.sql import functions as F
 
-    vocab = [f"w{i:03d}" for i in range(VOCAB_SIZE)]
     n_parts = max(64, n_docs // 40_000)
     df = spark.range(0, n_docs, 1, n_parts)
     # near-dup 3-cliques: ids {13m, 13m+1, 13m+2} share a seed
@@ -138,9 +142,11 @@ def generate_corpus(spark, out_dir: str, n_docs: int) -> dict:
         F.col("id") % 13 < 3, F.col("id") - (F.col("id") % 13)
     ).otherwise(F.col("id"))
     n_words = (120 + F.pmod(F.xxhash64(seed, F.lit(1)), F.lit(440))).cast("int")
-    word = lambda i: F.elt(  # noqa: E731
-        (1 + F.pmod(F.xxhash64(seed, i), F.lit(VOCAB_SIZE))).cast("int"),
-        *[F.lit(w) for w in vocab],
+    # token = "w" + hash-picked vocab index: a 50k vocab with ZERO plan
+    # literals (an F.elt over 50k F.lit args would bloat the plan); stays
+    # a whole-stage-codegen projection.
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(seed, i), F.lit(VOCAB_SIZE)).cast("string")
     )
     base_text = F.array_join(
         F.transform(F.sequence(F.lit(1), n_words), word), " "
@@ -195,6 +201,16 @@ def run(n_docs: int, label: str) -> dict:
     from ploverdb_spark.operators import text as T
     from scalebench import jvm_peak_rss_gb
 
+    # Self-gate on a quiet host (1-min AND 5-min load) like bench.py /
+    # scalebench.py; CORPUSBENCH_NO_GATE=1 skips the bounded wait.
+    if os.environ.get("CORPUSBENCH_NO_GATE"):
+        load_gate = {"gate_passed": None, "waited_sec": 0.0}
+    else:
+        from ploverdb_spark.session import wait_for_quiet_host
+
+        print("# waiting (<= 30 min) for quiet host ...", flush=True)
+        load_gate = wait_for_quiet_host()
+        print(f"# load gate: {load_gate}", flush=True)
     load0 = host_load()
     spark = get_spark()
     sf_dir = os.path.join(WORK_DIR, label)
@@ -301,6 +317,7 @@ def run(n_docs: int, label: str) -> dict:
         "parquet_gb": gen["parquet_gb"],
         "total_wall_sec": round(time.time() - t_all, 1),
         "host_load_avg_start": load0,
+        "load_gate": load_gate,
         "peak_jvm_rss_gb": jvm_peak_rss_gb(spark),
         "phases": meter.phases,
     }

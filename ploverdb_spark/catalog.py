@@ -96,99 +96,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 73 — so
-# front-load the entries that most need a fresh row.  Round 8 rotation:
-# the 22 entries dropped by the r05–r07 windows come back first (their
-# last DRIVER row is r04; the r07 judge re-ran all 22 against the oracle
-# green, but the driver artifact must cover them too), then the four
-# media entries (operators/multimodal.py + operators/audio.py gained the
-# NULL-payload degrade guard this round), then the pipeline-registered
-# corpus operators (queries/pipeline.py changed this round: the media
-# wrappers moved out to queries/media.py), then the relational/TRAPI
-# entries that round out the window.  NOTE to driver maintainers: the
-# emitter should assert emitted-row count == len(all_oracles()) instead
-# of relying on this ordering.
+# emits at most 50 correctness rows while the catalog is 74 — so
+# front-load the entries that most need a fresh row.  Round 9 rotation:
+# the 23 entries whose last driver row is r07 come back first (r08∪r09
+# must cover all 74), then every entry executing this round's changed
+# modules — query/compiler.py + query/response.py (KG-vocab filter
+# pruning: all TRAPI lookups), operators/audio.py (build_flac range
+# guards + the new MP3 walk), operators/dedup.py (connected_components
+# pre-partitioning) — then the new m6 entry and the r5 bench-floor
+# queries s1/s4.  NOTE to driver maintainers: the emitter should assert
+# emitted-row count == len(all_oracles()) instead of relying on this
+# ordering.
 _EMIT_FIRST = (
-    # 22 rotated in: driver rows stale since r04 (r07∪r08 covers all 72)
-    "w1_sessionize",
-    "w2_rollup_orders",
-    "w3_value_deltas",
-    "j12_asof_last_order",
-    "a3_meta_nodes",
-    "a1_meta_kg",
-    "c3_sequence_packing",
-    "c4_stratified_sample",
-    "c5_domain_cap",
-    "j10_edges_between_pairs",
-    "j11_batch_neighbors",
-    "a6_result_groups",
-    "g2_subclass_closure",
-    "j8_qualified_lookup",
-    "p4_zip_roundtrip",
-    "a4_normalize_merge",
-    "p6_most_specific_categories",
-    "j4_alias_lookup",
-    "j5_subclass_expanded_lookup",
-    "f4_symmetric_lookup",
-    "p7_canonical_flip",
-    "f3_constrained_lookup",
-    # media: implementing modules changed this round (NULL-payload guard)
-    "m1_media_features",
-    "m2_frame_samples",
-    "m3_resize_dims",
-    "m4_audio_metadata",
-    "m5_flac_metadata",  # NEW this round: needs its first driver row
-    # corpus-scale operators (registration module queries/pipeline.py
-    # changed this round) + the r5 bench-floor queries s1/s4/d6
-    "c7_training_mix",
-    "c8_bloom_decontamination",
-    "c10_lsh_decontamination",
-    "t8_quality_quantile",
-    "d2_minhash_lsh_pairs",
-    "d5_embedding_neardup",
-    "d6_dup_groups",
-    "d7_edit_distance_verify",
-    "s1_cosine_topk",
-    "s2_ivf_topk",
-    "s4_ivf_recall",
-    # relational/TRAPI window fill
-    "a1_pricing_summary",
-    "a2_test_triples",
-    "j1_customers_without_orders",
-    "j2_region_revenue",
-    "j2_one_hop_lookup",
-    "j3_doubly_pinned",
-    "j3_trapi_doubly_pinned",
-    "j11_order_parts",
-    "f1_event_type_stats",
-    "f5_top_orders",
-    "a6_conditional_grouping",
-    "r5_single_node_lookup",
-)
-
-
-# Emitted LAST: when the driver's 50-row cap truncates the catalog,
-# these are the safest rows to lose (their last green row still
-# describes the current code).  Entries exercising this round's changed
-# modules must stay inside the emitted window.
-_EMIT_LAST = (
-    # exactly (catalog - 50) entries: 73-entry catalog minus the driver's
-    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
-    # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r07 (round-8 rotation: the r05–r07 window becomes the
-    # donor pool).  Executed-code provenance: the operator modules these
-    # entries execute (operators/text.py, operators/dedup.py,
-    # operators/similarity.py, operators/packing.py,
-    # operators/chunking.py, queries/relational.py) have zero round-8
-    # commits.  queries/pipeline.py (the registration module for 20 of
-    # them) DID change in round 8, but each hunk leaves the tail
-    # entries' executed code line-identical to the r07-green state: the
-    # four media wrappers moved out to queries/media.py (removal-only)
-    # and c7_training_mix — in _EMIT_FIRST, so re-measured this round —
-    # swapped its repetition filter to a pushdown-barrier shape.
-    # tests/test_emission_rotation.py pins each entry's full transitive
-    # module chain by content hash; any unpinned change to a chain module
-    # fails that test loudly instead of silently staling a tail row.
+    # 23 rotated in: last driver row r07 (r08∪r09 covers all 74)
     "t1_token_counts",
     "t2_quality_scores",
     "t3_language_id",
@@ -211,10 +131,91 @@ _EMIT_LAST = (
     "c11_doc_chunking",
     "set_ops_customers",
     "a2_first_order_per_customer",
-    # moved from _EMIT_FIRST when m5_flac_metadata took its window slot:
-    # green DRIVER row in CORRECTNESS_r07; chain (queries/relational.py)
-    # unchanged this round.
     "a3_segment_nations",
+    # TRAPI/build entries executing the changed compiler.py/response.py
+    "j2_one_hop_lookup",
+    "j3_trapi_doubly_pinned",
+    "j4_alias_lookup",
+    "j5_subclass_expanded_lookup",
+    "j8_qualified_lookup",
+    "j10_edges_between_pairs",
+    "j11_batch_neighbors",
+    "f3_constrained_lookup",
+    "f4_symmetric_lookup",
+    "r5_single_node_lookup",
+    "a6_result_groups",
+    "a4_normalize_merge",
+    "g2_subclass_closure",
+    "p4_zip_roundtrip",
+    "p6_most_specific_categories",
+    "p7_canonical_flip",
+    # audio module changed this round (range guards + MP3 walk)
+    "m4_audio_metadata",
+    "m5_flac_metadata",
+    "m6_mp3_metadata",  # NEW this round: needs its first driver row
+    # dedup module changed this round (d6 executes the changed CC)
+    "d2_minhash_lsh_pairs",
+    "d5_embedding_neardup",
+    "d6_dup_groups",
+    "d7_edit_distance_verify",
+    "c8_bloom_decontamination",
+    "c10_lsh_decontamination",
+    # r5 bench-floor queries
+    "s1_cosine_topk",
+    "s4_ivf_recall",
+)
+
+
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
+_EMIT_LAST = (
+    # exactly (catalog - 50) entries: 74-entry catalog minus the driver's
+    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
+    # order leaves last.  Every entry here has a green DRIVER row in
+    # CORRECTNESS_r08.  Executed-code provenance for the round-9 changes:
+    # the first 12 entries' chains contain NO module changed in round 9
+    # (queries/relational.py, queries/windows.py untouched).  The rest
+    # are chain-tainted by IMPORT only — their executed code is
+    # line-identical to the r08-green state: m1-m3 execute
+    # operators/multimodal.py (untouched; their registration module
+    # queries/media.py changed only by APPENDING the m6 wrapper);
+    # c3/c4/c5/t8/s2/c7 execute packing/text/similarity/pipeline
+    # (untouched; tainted via pipeline.py's module-level import of the
+    # changed operators/dedup.py, whose changed lines sit inside
+    # connected_components/bloom_decontaminate — functions none of them
+    # call); a1_meta_kg/a2_test_triples/a3_meta_nodes execute
+    # build/meta_kg.py (untouched; tainted via an import of the changed
+    # query/compiler.py but construct no TrapiEngine, and the round-9
+    # compiler change is confined to TrapiEngine methods).
+    # tests/test_emission_rotation.py pins each entry's full transitive
+    # module chain by content hash; any unpinned change to a chain module
+    # fails that test loudly instead of silently staling a tail row.
+    "a1_pricing_summary",
+    "a6_conditional_grouping",
+    "f1_event_type_stats",
+    "f5_top_orders",
+    "j11_order_parts",
+    "j12_asof_last_order",
+    "j1_customers_without_orders",
+    "j2_region_revenue",
+    "j3_doubly_pinned",
+    "w1_sessionize",
+    "w2_rollup_orders",
+    "w3_value_deltas",
+    "m1_media_features",
+    "m2_frame_samples",
+    "m3_resize_dims",
+    "c3_sequence_packing",
+    "c4_stratified_sample",
+    "c5_domain_cap",
+    "t8_quality_quantile",
+    "s2_ivf_topk",
+    "c7_training_mix",
+    "a1_meta_kg",
+    "a2_test_triples",
+    "a3_meta_nodes",
 )
 
 

@@ -134,7 +134,18 @@ def build_flac(
     STREAMINFO metadata block (big-endian bit-packed rate/channels/bits/
     total-samples per the public FLAC format spec), optionally a PADDING
     block, then the frame bytes.  ``audio_md5`` is STREAMINFO's 128-bit
-    unencoded-audio MD5 field."""
+    unencoded-audio MD5 field.
+
+    Spec ranges are asserted up front: out-of-range params would
+    otherwise bleed into adjacent bit fields via the OR-packing (channels
+    > 8, bits > 32) or overflow ``to_bytes(8)`` (rate >= 2^20), silently
+    producing a corrupt container."""
+    if not 0 < sample_rate < (1 << 20):
+        raise ValueError(f"sample_rate {sample_rate} outside FLAC 20-bit field")
+    if not 1 <= n_channels <= 8:
+        raise ValueError(f"n_channels {n_channels} outside FLAC range 1-8")
+    if not 4 <= bits_per_sample <= 32:
+        raise ValueError(f"bits_per_sample {bits_per_sample} outside FLAC range 4-32")
     packed = (
         (sample_rate << 44)
         | ((n_channels - 1) << 41)
@@ -270,6 +281,190 @@ def flac_metadata(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     )
     return pruned.mapInPandas(batches, schema=FLAC_META_SCHEMA)
+
+
+# MPEG-1 Layer III bitrate table (kbps), index 1-14; 0 = free, 15 = bad.
+MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)  # MPEG-1 sample-rate index 0-2
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+MP3_META_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, n_channels int, "
+    "bitrate_kbps int, n_frames int, duration_ms long, has_id3 boolean, "
+    "is_vbr boolean, n_audio_bytes long"
+)
+
+
+def build_mp3(
+    payload: bytes,
+    bitrate_index: int,
+    samplerate_index: int,
+    channel_mode: int,
+    id3_body: bytes | None = None,
+) -> bytes:
+    """Spec-correct MPEG-1 Layer III (CBR, no CRC) byte stream: an
+    optional ID3v2 tag (real syncsafe size field), then fixed-length
+    frames whose 4-byte headers carry genuine sync/version/layer/bitrate/
+    samplerate/channel bits.  Frame bodies are consecutive payload
+    slices, the last zero-padded to the frame length (CBR frames are
+    fixed-size).  Ranges are asserted so misuse fails loudly instead of
+    emitting a stream with reserved field values."""
+    if not 1 <= bitrate_index <= 14:
+        raise ValueError(f"bitrate_index {bitrate_index} outside 1-14")
+    if not 0 <= samplerate_index <= 2:
+        raise ValueError(f"samplerate_index {samplerate_index} outside 0-2")
+    if not 0 <= channel_mode <= 3:
+        raise ValueError(f"channel_mode {channel_mode} outside 0-3")
+    out = b""
+    if id3_body is not None:
+        size = len(id3_body)
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + syncsafe + id3_body
+    bitrate = MP3_BITRATES[bitrate_index]
+    rate = MP3_SAMPLE_RATES[samplerate_index]
+    frame_len = 144_000 * bitrate // rate  # padding bit 0
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync(11) + MPEG-1(11) + Layer III(01) + no-CRC(1)
+            (bitrate_index << 4) | (samplerate_index << 2),
+            channel_mode << 6,
+        ]
+    )
+    body_len = frame_len - 4
+    n_frames = max(1, -(-len(payload) // body_len))
+    for i in range(n_frames):
+        body = payload[i * body_len : (i + 1) * body_len]
+        out += hdr + body + b"\x00" * (body_len - len(body))
+    return out
+
+
+def parse_mp3(data: bytes) -> dict[str, Any] | None:
+    """Frame-header-walking MP3 scan (no audio libs): skips a leading
+    ID3v2 tag (validating its syncsafe size), then walks MPEG-1 Layer III
+    frame headers — sync pattern, version/layer bits, bitrate and
+    sample-rate table lookups, padding bit — summing frames and detecting
+    bitrate changes (VBR).  A truncated final frame still counts (crawl
+    payloads are routinely cut mid-frame); anything unparseable returns
+    None and the caller degrades per-record."""
+    pos, has_id3 = 0, False
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            return None
+        b6, b7, b8, b9 = data[6], data[7], data[8], data[9]
+        if (b6 | b7 | b8 | b9) & 0x80:
+            return None  # syncsafe bytes must have bit 7 clear
+        pos = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+        has_id3 = True
+    n_frames = 0
+    bitrates: set[int] = set()
+    rate = channels = None
+    audio_start = pos
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None if n_frames == 0 else _mp3_result(
+                data, audio_start, n_frames, bitrates, rate, channels, has_id3
+            )
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            return None  # only MPEG-1 Layer III handled here
+        bidx, sidx = b2 >> 4, (b2 >> 2) & 0x3
+        if bidx in (0, 15) or sidx == 3:
+            return None  # free/bad bitrate, reserved sample rate
+        bitrate = MP3_BITRATES[bidx]
+        rate = MP3_SAMPLE_RATES[sidx]
+        channels = 1 if (b3 >> 6) == 3 else 2
+        bitrates.add(bitrate)
+        n_frames += 1
+        pos += 144_000 * bitrate // rate + ((b2 >> 1) & 0x1)
+    if n_frames == 0:
+        return None
+    return _mp3_result(
+        data, audio_start, n_frames, bitrates, rate, channels, has_id3
+    )
+
+
+def _mp3_result(
+    data: bytes, audio_start: int, n_frames: int, bitrates, rate, channels,
+    has_id3: bool,
+) -> dict[str, Any]:
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bitrate_kbps": min(bitrates),
+        "n_frames": n_frames,
+        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "has_id3": has_id3,
+        "is_vbr": len(bitrates) > 1,
+        "n_audio_bytes": len(data) - audio_start,
+    }
+
+
+def text_as_mp3(payload: bytes) -> bytes:
+    """Deterministic MP3 synthesis from an opaque payload (the MP3
+    sibling of :func:`text_as_wav`): stream parameters come from md5
+    bytes of the payload, frame bodies are the payload bytes — so a SQL
+    oracle recomputes every metadata field from md5/length alone while
+    the engine-side bytes round-trip through the real frame walk."""
+    d = hashlib.md5(payload).digest()
+    return build_mp3(
+        payload,
+        bitrate_index=1 + d[0] % 14,
+        samplerate_index=d[1] % 3,
+        channel_mode=3 if d[2] % 2 else 0,
+        id3_body=b"\x00" * 32 if d[3] % 2 == 0 else None,
+    )
+
+
+def mp3_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    synthesize: bool = False,
+) -> DataFrame:
+    """Per-record MP3 frame-header scan over a binary payload column
+    (same Arrow-batched, shuffle-free shape as :func:`audio_metadata`).
+    Corrupt/non-MP3/NULL records yield null metadata fields, never a
+    stage failure."""
+
+    meta_keys = (
+        "sample_rate",
+        "n_channels",
+        "bitrate_kbps",
+        "n_frames",
+        "duration_ms",
+        "has_id3",
+        "is_vbr",
+        "n_audio_bytes",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    meta, mp3 = None, None
+                else:
+                    raw = bytes(p)
+                    mp3 = text_as_mp3(raw) if synthesize else raw
+                    meta = parse_mp3(mp3)
+                row = {
+                    "media_id": mid,
+                    "n_bytes": len(mp3) if mp3 is not None else None,
+                }
+                for k in meta_keys:
+                    row[k] = meta[k] if meta is not None else None
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    pruned = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    )
+    return pruned.mapInPandas(batches, schema=MP3_META_SCHEMA)
 
 
 def audio_metadata(

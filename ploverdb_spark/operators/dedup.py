@@ -402,9 +402,22 @@ def connected_components(
     # Static self-loops fold "keep your own label" into the SAME min
     # aggregation as the neighbor labels — one join + one agg per round
     # instead of join + agg + join.
-    und_self = sym.unionByName(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).persist()
+    #
+    # repartition("dst") BEFORE persist: every round joins this edge list
+    # on ``dst``, and a cached-but-unpartitioned edge list pays a full
+    # edge-sized Exchange per round (exchanges are not reused across the
+    # per-round jobs).  Caching it already hash-partitioned on the join
+    # key makes EnsureRequirements skip that Exchange every round — the
+    # per-round shuffle drops from O(edges) to O(nodes) (labels side +
+    # post-agg rows), which is the term that dominated d6 at corpus scale
+    # (SCALEBENCH.md 5M-doc run: 263 s, 2.36 GB shuffle).
+    und_self = (
+        sym.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition(F.col("dst"))
+        .persist()
+    )
 
     def step(lab: DataFrame) -> DataFrame:
         # One propagation step: min over the closed neighborhood (the
@@ -691,6 +704,15 @@ def bloom_decontaminate(
     """Benchmark decontamination through a Bloom filter instead of the
     exact broadcast set (c2's shape): count, per corpus document, the
     n-grams the filter reports as benchmark members.
+
+    PRECONDITION: ``corpus_grams`` must be distinct on
+    ``(doc_col, gram_col)`` — unlike the old ``shingles_of`` path,
+    ``exploded_word_grams`` keeps within-doc duplicate grams, and a
+    duplicated gram inflates ``n_flagged_grams``.  Callers own the
+    ``dropDuplicates([doc_col, gram_col])`` (every in-repo caller does it
+    before the explode-heavy plan section where it is cheapest); it is
+    not applied here so already-distinct inputs don't pay a redundant
+    shuffle.
 
     Why this exists next to c2: an exact benchmark n-gram set broadcasts
     fine for eval sets, but a multi-benchmark suite at web scale can reach

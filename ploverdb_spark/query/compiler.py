@@ -146,6 +146,7 @@ class TrapiEngine:
         # False = not yet decided; None = too big, use join fallback
         self._synonym_map: dict[str, str] | None | bool = False
         self._closure_map: dict[str, list[str]] | None | bool = False
+        self._kg_vocab: dict | None = None
         # Builds are serialized: without the lock, the first burst of
         # concurrent queries each re-collects the (up to 2M-row) maps —
         # measured as minutes of redundant driver work at reference scale.
@@ -200,6 +201,7 @@ class TrapiEngine:
         self._get_synonym_map()
         self._get_closure_map()
         self._conglomerate_descendant_index()
+        self._get_kg_vocab()
         return self
 
     # ------------------------------------------------------------------
@@ -217,14 +219,21 @@ class TrapiEngine:
         table — driver map when under the size guard (zero Spark actions),
         else a pushed-down filter + collect.
 
-        The over-guard fallback is deliberately NOT a join: joining a tiny
-        id literal against the synonym table streams the entire table per
-        request (at 7M synonyms that was the dominant per-batch cost of a
-        /neighbors sweep — a full scan, or worse a per-request shuffle,
-        for a 100-row answer).  Filtering the bucketed+sorted table with
-        the same between+IN shape as ``pushdown_id_filter`` prunes to the
-        matching buckets/row-groups, and ids missing from the table simply
-        fall back to themselves on the driver."""
+        Up to ``MAX_ISIN_PUSHDOWN`` ids the fallback is deliberately NOT a
+        join: joining a tiny id literal against the synonym table streams
+        the entire table per request (at 7M synonyms that was the dominant
+        per-batch cost of a /neighbors sweep — a full scan, or worse a
+        per-request shuffle, for a 100-row answer).  Filtering the
+        bucketed+sorted table with the same between+IN shape as
+        ``pushdown_id_filter`` prunes to the matching buckets/row-groups,
+        and ids missing from the table simply fall back to themselves on
+        the driver.  Batches larger than the guard are CHUNKED through the
+        same pushdown shape — each chunk prunes independently — so no
+        realistic batch size regresses to a per-request full scan; only
+        past ``16 * MAX_ISIN_PUSHDOWN`` ids (~128k, where one scan
+        amortizes over the batch and a union-of-chunks plan would bloat)
+        does it fall back to a broadcast left-semi join, which does
+        stream the synonym table once."""
         if not ids:
             return {}
         syn_map = self._get_synonym_map()
@@ -233,15 +242,101 @@ class TrapiEngine:
         syn = self.kg.id_synonyms
         if len(ids) <= MAX_ISIN_PUSHDOWN:
             syn = pushdown_id_filter(syn, "alias_id", ids)
-        else:
+        elif len(ids) > 16 * MAX_ISIN_PUSHDOWN:
             syn = syn.join(
                 F.broadcast(self._tiny_df([(i,) for i in ids], "alias_id string")),
                 on="alias_id",
                 how="left_semi",
             )
+        else:
+            chunks = [
+                pushdown_id_filter(
+                    syn, "alias_id", ids[i : i + MAX_ISIN_PUSHDOWN]
+                )
+                for i in range(0, len(ids), MAX_ISIN_PUSHDOWN)
+            ]
+            syn = chunks[0]
+            for c in chunks[1:]:
+                syn = syn.unionByName(c)
         rows = syn.select("alias_id", "preferred_id").collect()
         found = {r.alias_id: r.preferred_id for r in rows if r.preferred_id}
         return {i: found.get(i, i) for i in ids}
+
+    def _get_kg_vocab(self) -> dict:
+        """Driver-resident KG vocabulary: the DISTINCT predicate,
+        conglomerate-predicate, and category values actually present in
+        the serving index (ontology-sized — tens of entries — no matter
+        how many edges).  One map-side-combined scan, built at warmup
+        alongside the other driver maps.
+
+        Why it exists: biolink expansion turns a qedge's predicates into
+        hundreds of descendants, nearly all absent from any given KG, and
+        the serving conf keeps IN-lists in ``In`` form (linear per-row
+        evaluation, see SERVING_SQL_CONF) — so every scanned row paid
+        O(hundreds) comparisons for a vocabulary of ~10.  Intersecting
+        the expanded sets against this vocab shrinks the per-row filter
+        to the predicates that can actually match, and when an expanded
+        set COVERS the vocab the filter is provably TRUE and is skipped
+        entirely (the default /neighbors sweep — ``related_to`` +
+        ``NamedThing`` — hits this on both filters).
+
+        ``min_cat_size`` guards the category skip: a node with an empty
+        (or NULL) category array fails ``arrays_overlap`` against any
+        list, so cover-the-vocab only implies filter==TRUE when every
+        neighbor has at least one category."""
+        if self._kg_vocab is not None:
+            return self._kg_vocab
+        with self._maps_lock:
+            if self._kg_vocab is None:
+                row = self.kg.edges_bidir.agg(
+                    F.collect_set("predicate").alias("preds"),
+                    F.collect_set("conglomerate_predicate").alias("congl"),
+                    F.array_distinct(
+                        F.flatten(F.collect_set("neighbor_categories"))
+                    ).alias("cats"),
+                    F.min(
+                        F.coalesce(F.size("neighbor_categories"), F.lit(-1))
+                    ).alias("min_cat_size"),
+                ).collect()[0]
+                self._kg_vocab = {
+                    "predicate": frozenset(row.preds),
+                    "conglomerate_predicate": frozenset(row.congl),
+                    "categories": frozenset(row.cats),
+                    "min_cat_size": row.min_cat_size
+                    if row.min_cat_size is not None
+                    else -1,
+                }
+        return self._kg_vocab
+
+    def prune_predicate_sets(
+        self, directed: set[str], bidirectional: set[str], use_congl: bool
+    ) -> tuple[set[str], set[str], bool]:
+        """Intersect expanded predicate sets with the KG vocab; returns
+        ``(directed, bidirectional, skip_filter)`` where ``skip_filter``
+        means the predicate filter matches every row and must be dropped
+        (cheaper AND avoids a useless per-row In-list walk)."""
+        known = self._get_kg_vocab()[
+            "conglomerate_predicate" if use_congl else "predicate"
+        ]
+        directed = directed & known
+        bidirectional = bidirectional & known
+        # bidirectional covers the whole vocabulary -> `In(bidir) | ...`
+        # is TRUE for every row (the match columns are never NULL:
+        # predicate is required, conglomerate_predicate is concat_ws).
+        return directed, bidirectional, bidirectional >= known
+
+    def prune_category_list(self, categories) -> tuple[list[str], bool]:
+        """Intersect an expanded category list with the KG vocab; returns
+        ``(pruned_list, skip_filter)``.  The filter can only be skipped
+        when the list covers the vocab AND every neighbor row carries a
+        non-empty category array (empty arrays fail arrays_overlap)."""
+        vocab = self._get_kg_vocab()
+        cats = sorted(set(categories) & vocab["categories"])
+        skip = (
+            set(categories) >= vocab["categories"]
+            and vocab["min_cat_size"] >= 1
+        )
+        return cats, skip
 
     def _conglomerate_descendant_index(self) -> dict[str, set[str]]:
         """G4 (plover.py:1486-1519): ancestor qualifier-combo string ->
@@ -534,6 +629,12 @@ class TrapiEngine:
         use_congl, pred_map = self._expanded_predicates(qedge)
         directed = {p for p, bidir in pred_map.items() if not bidir}
         bidirectional = {p for p, bidir in pred_map.items() if bidir}
+        # prune to the KG's actual vocabulary (and skip a provably-TRUE
+        # filter): expansion routinely yields hundreds of descendants for
+        # a ~10-predicate KG, and serving keeps In-lists in linear form
+        directed, bidirectional, skip_pred_filter = self.prune_predicate_sets(
+            directed, bidirectional, use_congl
+        )
 
         compiled = CompiledQEdge(
             qedge_key=qedge_key,
@@ -600,9 +701,14 @@ class TrapiEngine:
             ).withColumnRenamed("neighbor_id", "output_id")
 
         # expanded predicate sets can reach hundreds of descendants —
-        # in_predicate keeps construction at one py4j call per set
-        pred_filter = in_predicate(match_col, sorted(bidirectional))
-        if directed:
+        # in_predicate keeps construction at one py4j call per set; a
+        # vocab-covering set skips the filter outright (always true)
+        pred_filter = (
+            F.lit(True)
+            if skip_pred_filter
+            else in_predicate(match_col, sorted(bidirectional))
+        )
+        if directed and not skip_pred_filter:
             pred_filter = pred_filter | (
                 in_predicate(match_col, sorted(directed))
                 & (F.col("direction") == required_dir)
@@ -667,13 +773,21 @@ class TrapiEngine:
                     on="neighbor_id",
                 )
         else:
-            # F1: category filter only when output is unpinned
-            matched = matched.where(
-                F.arrays_overlap(
-                    F.col("neighbor_categories"),
-                    F.lit(compiled.output_categories).cast("array<string>"),
+            # F1: category filter only when output is unpinned; pruned to
+            # the KG's category vocab (and skipped when it covers it)
+            cats, skip_cat_filter = self.prune_category_list(
+                compiled.output_categories
+            )
+            if not skip_cat_filter:
+                matched = matched.where(
+                    F.arrays_overlap(
+                        F.col("neighbor_categories"),
+                        F.lit(cats).cast("array<string>"),
+                    )
                 )
-            ).withColumn("output_query_id", F.lit(None).cast("string"))
+            matched = matched.withColumn(
+                "output_query_id", F.lit(None).cast("string")
+            )
 
         # F3: attribute constraints
         matched = apply_attribute_constraints(

@@ -881,14 +881,23 @@ def get_neighbors(
     preds_raw = set(predicates)
     preds = preds_raw | set(m.replace_predicate_mixins(sorted(preds_raw)))
     pred_exp = {d for p in preds for d in m.predicate_descendants(p)}
-    directed = sorted(
+    directed_set = {
         p for p in pred_exp if not engine._consider_bidirectional(p, preds)
+    }
+    bidir_set = pred_exp - directed_set
+    # prune expansions to the KG vocab / skip provably-TRUE filters —
+    # the Pathfinder default sweep (related_to + NamedThing) otherwise
+    # pays a per-row walk of a hundreds-long In-list for every batch
+    # (see TrapiEngine._get_kg_vocab)
+    directed_set, bidir_set, skip_pred_filter = engine.prune_predicate_sets(
+        directed_set, bidir_set, use_congl=False
     )
-    bidirectional = sorted(
-        p for p in pred_exp if engine._consider_bidirectional(p, preds)
+    directed, bidirectional = sorted(directed_set), sorted(bidir_set)
+    cat_exp, skip_cat_filter = engine.prune_category_list(cat_exp)
+    pred_filter = (
+        F.lit(True) if skip_pred_filter else in_predicate("predicate", bidirectional)
     )
-    pred_filter = in_predicate("predicate", bidirectional)
-    if directed:
+    if directed and not skip_pred_filter:
         pred_filter = pred_filter | (
             in_predicate("predicate", directed)
             & (F.col("direction") == DIR_FORWARD)
@@ -905,16 +914,18 @@ def get_neighbors(
         bidir = pushdown_id_filter(
             bidir, "node_id", [canon.get(i, i) for i in node_ids]
         )
-    matched = (
-        bidir.join(F.broadcast(ids_df), on="node_id")
-        .where(pred_filter)
-        .where(
+    joined = bidir.join(F.broadcast(ids_df), on="node_id")
+    if not skip_pred_filter:
+        joined = joined.where(pred_filter)
+    if not skip_cat_filter:
+        joined = joined.where(
             F.arrays_overlap(
                 F.col("neighbor_categories"),
                 F.lit(cat_exp).cast("array<string>"),
             )
         )
-        .groupBy("orig_id")
+    matched = (
+        joined.groupBy("orig_id")
         .agg(F.collect_set("neighbor_id").alias("neighbors"))
         .collect()
     )

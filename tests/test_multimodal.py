@@ -475,6 +475,141 @@ def test_flac_corrupt_payloads_degrade():
     not_last = bytearray(good)
     not_last[4] = 0x00  # clear last-flag on STREAMINFO
     assert parse_flac(bytes(not_last[: 4 + 4 + 34 + 2])) is None
-    # zero sample rate inside an otherwise-valid STREAMINFO
-    zero_rate = build_flac(b"", 0, 1, 16, 0, d)
-    assert parse_flac(zero_rate) is None
+    # zero sample rate inside an otherwise-valid STREAMINFO: build_flac
+    # refuses out-of-spec params now, so zero the 20 rate bits by hand
+    # (packed field = si[10:18], abs offset 18; rate = top 20 bits)
+    zero_rate = bytearray(build_flac(b"", 16000, 1, 16, 0, d))
+    zero_rate[18] = zero_rate[19] = 0
+    zero_rate[20] &= 0x0F
+    assert parse_flac(bytes(zero_rate)) is None
+
+
+def test_build_flac_rejects_out_of_spec_params():
+    """Out-of-range params fail loudly instead of OR-bleeding into
+    adjacent STREAMINFO bit fields (channels > 8, bits > 32) or
+    overflowing the 8-byte pack (rate >= 2^20)."""
+    import hashlib
+
+    import pytest
+
+    from ploverdb_spark.operators.audio import build_flac
+
+    d = hashlib.md5(b"seed").digest()
+    for kwargs in (
+        {"sample_rate": 0},
+        {"sample_rate": 1 << 20},
+        {"n_channels": 0},
+        {"n_channels": 9},
+        {"bits_per_sample": 3},
+        {"bits_per_sample": 33},
+    ):
+        params = {
+            "sample_rate": 16000,
+            "n_channels": 1,
+            "bits_per_sample": 16,
+            **kwargs,
+        }
+        with pytest.raises(ValueError):
+            build_flac(b"frames", total_samples=3, audio_md5=d, **params)
+
+
+def test_mp3_container_roundtrip():
+    """build_mp3 emits spec-correct MPEG-1 Layer III frames that
+    parse_mp3 walks back exactly; the synthesis path's parameters match
+    the m6 oracle's md5-derived math (queries/media.py)."""
+    import hashlib
+
+    from ploverdb_spark.operators.audio import (
+        MP3_BITRATES,
+        MP3_SAMPLE_RATES,
+        build_mp3,
+        parse_mp3,
+        text_as_mp3,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog" * 31
+    d = hashlib.md5(payload).digest()
+    mp3 = text_as_mp3(payload)
+    meta = parse_mp3(mp3)
+    assert meta is not None
+    bitrate = MP3_BITRATES[1 + d[0] % 14]
+    rate = MP3_SAMPLE_RATES[d[1] % 3]
+    frame_len = 144_000 * bitrate // rate
+    n_frames = max(1, -(-len(payload) // (frame_len - 4)))
+    assert meta["bitrate_kbps"] == bitrate
+    assert meta["sample_rate"] == rate
+    assert meta["n_channels"] == (1 if d[2] % 2 else 2)
+    assert meta["n_frames"] == n_frames
+    assert meta["duration_ms"] == n_frames * 1152 * 1000 // rate
+    assert meta["has_id3"] == (d[3] % 2 == 0)
+    assert meta["is_vbr"] is False
+    assert meta["n_audio_bytes"] == n_frames * frame_len
+    id3_total = 42 if d[3] % 2 == 0 else 0
+    assert len(mp3) == id3_total + n_frames * frame_len
+
+    # ID3 both present and absent; mono and stereo
+    with_id3 = build_mp3(b"x" * 500, 9, 1, 3, id3_body=b"\x00" * 100)
+    m = parse_mp3(with_id3)
+    assert m and m["has_id3"] and m["n_channels"] == 1
+    assert m["n_audio_bytes"] == len(with_id3) - 110
+    no_id3 = build_mp3(b"x" * 500, 9, 1, 0)
+    m = parse_mp3(no_id3)
+    assert m and not m["has_id3"] and m["n_channels"] == 2
+
+    # VBR detection: two CBR streams at different bitrates concatenated
+    vbr = build_mp3(b"a" * 300, 5, 0, 0) + build_mp3(b"b" * 300, 11, 0, 0)
+    m = parse_mp3(vbr)
+    assert m and m["is_vbr"] and m["bitrate_kbps"] == MP3_BITRATES[5]
+
+    # truncated final frame still counts (crawl payloads cut mid-frame)
+    whole = build_mp3(b"z" * 2000, 9, 1, 0)
+    m_whole = parse_mp3(whole)
+    m_cut = parse_mp3(whole[:-50])
+    assert m_cut and m_cut["n_frames"] == m_whole["n_frames"]
+
+
+def test_mp3_corrupt_payloads_degrade():
+    """Every malformed-stream class returns None (per-record degrade),
+    never raises: no sync, free/bad bitrate index, reserved sample-rate
+    index, non-MPEG1-LayerIII version bits, bad ID3 syncsafe size."""
+    from ploverdb_spark.operators.audio import build_mp3, parse_mp3
+
+    good = build_mp3(b"payload" * 40, 9, 1, 0)
+    assert parse_mp3(good) is not None
+
+    assert parse_mp3(b"") is None
+    assert parse_mp3(b"not an mp3 stream at all") is None
+    bad = bytearray(good)
+    bad[2] = 0x00 | (bad[2] & 0x0F)  # bitrate index 0 = free -> reject
+    assert parse_mp3(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[2] = 0xF0 | (bad[2] & 0x0F)  # bitrate index 15 = bad
+    assert parse_mp3(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[2] = (bad[2] & 0xF0) | 0x0C  # sample-rate index 3 = reserved
+    assert parse_mp3(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[1] = 0xF3  # MPEG-2 version bits, not MPEG-1
+    assert parse_mp3(bytes(bad)) is None
+    # ID3 tag with a non-syncsafe size byte (bit 7 set)
+    assert parse_mp3(b"ID3\x04\x00\x00\x80\x00\x00\x00" + good) is None
+    # ID3 header truncated before its 10 bytes end
+    assert parse_mp3(b"ID3\x04\x00") is None
+
+
+def test_mp3_metadata_degrade_through_spark(spark):
+    """m6's Spark seam: NULL payloads and (synthesize=False) garbage both
+    degrade to null metadata rows, real payloads parse."""
+    from ploverdb_spark.operators.audio import mp3_metadata, text_as_mp3
+
+    rows_in = [
+        (1, text_as_mp3(b"real audio payload")),
+        (2, b"garbage bytes, no sync"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r.media_id: r for r in mp3_metadata(media).collect()}
+    assert out[1].sample_rate is not None and out[1].n_frames >= 1
+    for mid in (2, 3):
+        assert out[mid].sample_rate is None and out[mid].duration_ms is None
+    assert out[3].n_bytes is None and out[2].n_bytes == len(rows_in[1][1])
