@@ -656,6 +656,21 @@ def main() -> None:
     report["serial_one_hop_p50_sec"] = round(statistics.median(lat), 3)
     print(f"# serial one-hop p50: {report['serial_one_hop_p50_sec']}s", flush=True)
 
+    # Canary abort: the serial one-hop p50 is the cheapest honest signal
+    # of host health (quiet record: ~1.1 s; IO-degraded days read 3-4 s
+    # on identical code — loadavg gating can't see that).  When
+    # SCALEBENCH_CANARY_ABORT_SEC is set and the canary exceeds it, stop
+    # BEFORE the burst instead of recording SLO numbers that measure the
+    # host, not the engine.
+    canary_bar = os.environ.get("SCALEBENCH_CANARY_ABORT_SEC")
+    if canary_bar and report["serial_one_hop_p50_sec"] > float(canary_bar):
+        report["aborted"] = (
+            f"canary {report['serial_one_hop_p50_sec']}s > {canary_bar}s"
+        )
+        print(f"# ABORT: {report['aborted']} — host degraded, retry later", flush=True)
+        print(json.dumps(report), flush=True)
+        return
+
     report["host_load_avg_pre_burst"] = os.getloadavg()[0]
     # HTTP (out-of-process client) is the honest default; the in-process
     # path stays one env var away for comparison.
