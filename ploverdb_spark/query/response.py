@@ -904,32 +904,42 @@ def get_neighbors(
         )
 
     canon = engine.canonicalize_ids(node_ids)
-    ids_df = tiny_df(
-        engine.spark,
-        [(canon.get(i, i), i) for i in node_ids],
-        "node_id string, orig_id string",
-    )
+    canon_ids = sorted({canon.get(i, i) for i in node_ids})
     bidir = engine.kg.edges_bidir
-    if engine.kg.pruned_id_scans:
-        bidir = pushdown_id_filter(
-            bidir, "node_id", [canon.get(i, i) for i in node_ids]
+    if len(canon_ids) <= MAX_ISIN_PUSHDOWN:
+        # ONE Spark job per batch (the Pathfinder repeat-batch shape,
+        # test_get_neighbors_batch_is_single_job): membership is the same
+        # BETWEEN+IN filter that prunes the bucketed/cached scan — no
+        # tiny-DF build, no broadcast-exchange job — and the original ids
+        # are recovered DRIVER-side through the canon map after grouping
+        # by canonical id (two aliases of one node share a neighbor set
+        # by definition).
+        filtered = bidir.where(
+            F.col("node_id").between(canon_ids[0], canon_ids[-1])
+            & in_predicate("node_id", canon_ids)
         )
-    joined = bidir.join(F.broadcast(ids_df), on="node_id")
+    else:
+        # batches past the pushdown guard: one broadcast semi join does
+        # stream the index once, amortized over the huge id list
+        ids_df = tiny_df(
+            engine.spark,
+            [(c,) for c in canon_ids],
+            "node_id string",
+        )
+        filtered = bidir.join(F.broadcast(ids_df), on="node_id", how="left_semi")
     if not skip_pred_filter:
-        joined = joined.where(pred_filter)
+        filtered = filtered.where(pred_filter)
     if not skip_cat_filter:
-        joined = joined.where(
+        filtered = filtered.where(
             F.arrays_overlap(
                 F.col("neighbor_categories"),
                 F.lit(cat_exp).cast("array<string>"),
             )
         )
     matched = (
-        joined.groupBy("orig_id")
+        filtered.groupBy("node_id")
         .agg(F.collect_set("neighbor_id").alias("neighbors"))
         .collect()
     )
-    out = {r.orig_id: sorted(r.neighbors) for r in matched}
-    for i in node_ids:
-        out.setdefault(i, [])
-    return out
+    by_canon = {r.node_id: sorted(r.neighbors) for r in matched}
+    return {i: by_canon.get(canon.get(i, i), []) for i in node_ids}
