@@ -30,6 +30,31 @@ def _host_load() -> float:
         return -1.0
 
 
+def _data_fingerprint(sf_dir: str) -> dict:
+    """Identify the exact testdata this run timed: per-table file md5 +
+    byte size.  The driver regenerates testdata between rounds, so floor
+    comparisons across BENCH artifacts are only attributable (code vs
+    host vs data) when each artifact names its inputs.  Whole-file md5
+    beats a row sample here: each table is one parquet file, and 17 MB
+    total hashes in ~50 ms."""
+    import hashlib
+
+    from ploverdb_spark.catalog import TABLES
+
+    fp = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            fp[t] = {"bytes": os.path.getsize(path), "md5": h.hexdigest()}
+        except OSError:
+            fp[t] = {"bytes": -1, "md5": ""}
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -101,6 +126,7 @@ def main() -> None:
                 "host_load_avg_start": load0,
                 "host_load_avg_end": _host_load(),
                 "load_gate": gate,
+                "data_fingerprint": _data_fingerprint(sf_dir),
             }
         )
     )

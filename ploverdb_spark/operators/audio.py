@@ -349,8 +349,13 @@ def parse_mp3(data: bytes) -> dict[str, Any] | None:
     frame headers — sync pattern, version/layer bits, bitrate and
     sample-rate table lookups, padding bit — summing frames and detecting
     bitrate changes (VBR).  A truncated final frame still counts (crawl
-    payloads are routinely cut mid-frame); anything unparseable returns
-    None and the caller degrades per-record."""
+    payloads are routinely cut mid-frame).  Mid-stream degradation is
+    uniform: ANY invalid header at a frame boundary after >=1 valid
+    frame — lost sync, non-MPEG1-LayerIII bits, free/bad bitrate,
+    reserved sample rate — ends the walk and returns the frames parsed
+    so far, with ``n_audio_bytes`` counting only through the end of the
+    last valid frame (trailing garbage is excluded).  The same defect at
+    the FIRST header returns None and the caller degrades per-record."""
     pos, has_id3 = 0, False
     if data[:3] == b"ID3":
         if len(data) < 10:
@@ -363,35 +368,28 @@ def parse_mp3(data: bytes) -> dict[str, Any] | None:
     n_frames = 0
     bitrates: set[int] = set()
     rate = channels = None
-    audio_start = pos
+    audio_start = audio_end = pos
     while pos + 4 <= len(data):
         b0, b1, b2, b3 = data[pos : pos + 4]
-        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
-            return None if n_frames == 0 else _mp3_result(
-                data, audio_start, n_frames, bitrates, rate, channels, has_id3
-            )
-        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
-            return None  # only MPEG-1 Layer III handled here
+        if (
+            b0 != 0xFF
+            or (b1 & 0xE0) != 0xE0  # lost sync
+            or (b1 >> 3) & 0x3 != 0x3  # not MPEG-1
+            or (b1 >> 1) & 0x3 != 0x1  # not Layer III
+        ):
+            break
         bidx, sidx = b2 >> 4, (b2 >> 2) & 0x3
         if bidx in (0, 15) or sidx == 3:
-            return None  # free/bad bitrate, reserved sample rate
+            break  # free/bad bitrate, reserved sample rate
         bitrate = MP3_BITRATES[bidx]
         rate = MP3_SAMPLE_RATES[sidx]
         channels = 1 if (b3 >> 6) == 3 else 2
         bitrates.add(bitrate)
         n_frames += 1
         pos += 144_000 * bitrate // rate + ((b2 >> 1) & 0x1)
+        audio_end = min(pos, len(data))  # truncated final frame: cap
     if n_frames == 0:
         return None
-    return _mp3_result(
-        data, audio_start, n_frames, bitrates, rate, channels, has_id3
-    )
-
-
-def _mp3_result(
-    data: bytes, audio_start: int, n_frames: int, bitrates, rate, channels,
-    has_id3: bool,
-) -> dict[str, Any]:
     return {
         "sample_rate": rate,
         "n_channels": channels,
@@ -400,7 +398,7 @@ def _mp3_result(
         "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000 // rate,
         "has_id3": has_id3,
         "is_vbr": len(bitrates) > 1,
-        "n_audio_bytes": len(data) - audio_start,
+        "n_audio_bytes": audio_end - audio_start,
     }
 
 

@@ -348,6 +348,14 @@ def ngram_jaccard(
     )
 
 
+# Below this many symmetrized edges, connected_components skips the
+# up-front repartition(dst) of its cached edge list: the per-round
+# Exchange it would save is cheaper than the extra edge-sized shuffle
+# at small scale (A/B'd at sf0.1 vs the 5M/20M-doc corpus runs — see
+# the comment at the repartition site).
+CC_PREPARTITION_MIN_EDGES = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "doc_a",
@@ -410,14 +418,24 @@ def connected_components(
     # key makes EnsureRequirements skip that Exchange every round — the
     # per-round shuffle drops from O(edges) to O(nodes) (labels side +
     # post-agg rows), which is the term that dominated d6 at corpus scale
-    # (SCALEBENCH.md 5M-doc run: 263 s, 2.36 GB shuffle).
-    und_self = (
-        sym.unionByName(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-        )
-        .repartition(F.col("dst"))
-        .persist()
+    # (SCALEBENCH.md 5M-doc run: 263 s → 37.8 s, wall flat across two
+    # corpus decades).
+    #
+    # GATED on edge count: the pre-partition is an up-front edge-sized
+    # Exchange that tiny inputs pay without amortizing (sf0.1 bench read
+    # 3.27 → 3.88 s when it was unconditional — the 32-partition
+    # round-robin cache already overlaps the per-round Exchange with the
+    # join at that size).  ``sym`` is already localCheckpointed, so the
+    # count is a cached-block scan, not a recompute.  Threshold A/B'd at
+    # sf0.1 (≈86k sym edges: skip wins) vs the 5M-doc corpus (≈9.2M sym
+    # edges: pre-partition wins 7×); the crossover sits where per-round
+    # Exchange cost exceeds one job's fixed overhead — ~1M edges.
+    und = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     )
+    if sym.count() >= CC_PREPARTITION_MIN_EDGES:
+        und = und.repartition(F.col("dst"))
+    und_self = und.persist()
 
     def step(lab: DataFrame) -> DataFrame:
         # One propagation step: min over the closed neighborhood (the

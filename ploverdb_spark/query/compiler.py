@@ -297,6 +297,15 @@ class TrapiEngine:
                     F.min(
                         F.coalesce(F.size("neighbor_categories"), F.lit(-1))
                     ).alias("min_cat_size"),
+                    # collect_set drops NULLs, so a NULL match column
+                    # would be invisible to the vocab yet dropped by an
+                    # In-list filter and KEPT when the filter is skipped
+                    # — track NULL presence so the skip stays lossless
+                    # even if a future ingest path produces one.
+                    F.max(F.col("predicate").isNull()).alias("pred_null"),
+                    F.max(
+                        F.col("conglomerate_predicate").isNull()
+                    ).alias("congl_null"),
                 ).collect()[0]
                 self._kg_vocab = {
                     "predicate": frozenset(row.preds),
@@ -305,6 +314,8 @@ class TrapiEngine:
                     "min_cat_size": row.min_cat_size
                     if row.min_cat_size is not None
                     else -1,
+                    "predicate_has_null": bool(row.pred_null),
+                    "conglomerate_predicate_has_null": bool(row.congl_null),
                 }
         return self._kg_vocab
 
@@ -315,15 +326,20 @@ class TrapiEngine:
         ``(directed, bidirectional, skip_filter)`` where ``skip_filter``
         means the predicate filter matches every row and must be dropped
         (cheaper AND avoids a useless per-row In-list walk)."""
-        known = self._get_kg_vocab()[
-            "conglomerate_predicate" if use_congl else "predicate"
-        ]
+        vocab = self._get_kg_vocab()
+        col = "conglomerate_predicate" if use_congl else "predicate"
+        known = vocab[col]
         directed = directed & known
         bidirectional = bidirectional & known
         # bidirectional covers the whole vocabulary -> `In(bidir) | ...`
-        # is TRUE for every row (the match columns are never NULL:
-        # predicate is required, conglomerate_predicate is concat_ws).
-        return directed, bidirectional, bidirectional >= known
+        # is TRUE for every row — UNLESS the match column is NULL
+        # somewhere (In(NULL) filters the row out; skipping keeps it),
+        # so the skip is disabled when the vocab scan saw a NULL.  No
+        # ingest path produces one today (predicate is required,
+        # conglomerate_predicate is concat_ws), but the guard is
+        # measured, not assumed — mirroring min_cat_size.
+        skip = bidirectional >= known and not vocab[f"{col}_has_null"]
+        return directed, bidirectional, skip
 
     def prune_category_list(self, categories) -> tuple[list[str], bool]:
         """Intersect an expanded category list with the KG vocab; returns

@@ -905,6 +905,10 @@ def get_neighbors(
 
     canon = engine.canonicalize_ids(node_ids)
     canon_ids = sorted({canon.get(i, i) for i in node_ids})
+    if not canon_ids:
+        # empty/missing node_ids (api.py passes payload.get('node_ids',
+        # [])): the BETWEEN+IN rewrite below would index canon_ids[0]
+        return {i: [] for i in node_ids}
     bidir = engine.kg.edges_bidir
     if len(canon_ids) <= MAX_ISIN_PUSHDOWN:
         # ONE Spark job per batch (the Pathfinder repeat-batch shape,

@@ -75,10 +75,59 @@ def apply_serving_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def io_canary(n_mb: int = 32, trials: int = 3, path: str | None = None) -> dict:
+    """Host-IO contention probe: median write+fsync latency of ``n_mb``
+    to a scratch file.
+
+    Why write+fsync: every round-9 SLO abort was IO contention the
+    loadavg gate could not see (45 s stalls on a CACHED single-id lookup;
+    a serial one-hop canary reading 3.5-9.7 s vs the 1.10 s quiet
+    record).  A read probe is defeated by host-side caching (measured:
+    O_DIRECT re-reads at 1.3 GB/s through the hypervisor cache), but
+    fsync must reach the shared device queue — it stalls exactly when the
+    disk is contended.  Quiet record on this box: ~0.08 s for 32 MB
+    (~390 MB/s); the gate bar is set at ~3x that.
+
+    Returns ``{"io_probe_sec": median, "io_probe_mb_s": ...}``; on any
+    OS error returns ``{"io_probe_sec": -1.0, "io_probe_mb_s": -1.0}``
+    (callers treat a failed probe as not-gating).
+    """
+    import statistics
+    import time as _time
+
+    path = path or os.environ.get("SPARK_GRAFT_IO_CANARY", "/tmp/ploverdb_io_canary.bin")
+    buf = os.urandom(1 << 20) * n_mb
+    secs = []
+    try:
+        for _ in range(trials):
+            t0 = _time.monotonic()
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            try:
+                os.write(fd, buf)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            secs.append(_time.monotonic() - t0)
+        os.unlink(path)
+    except OSError:
+        return {"io_probe_sec": -1.0, "io_probe_mb_s": -1.0}
+    med = statistics.median(secs)
+    return {
+        "io_probe_sec": round(med, 3),
+        "io_probe_mb_s": round(n_mb / med, 1) if med > 0 else -1.0,
+    }
+
+
+# 3x the quiet-host record (0.08 s for 32 MB): past this the device
+# queue is contended and wall-clock timings will read 10%+ over.
+IO_CANARY_BAR_SEC = 0.25
+
+
 def wait_for_quiet_host(
     max_load: float = 2.5,
     timeout_sec: float = 1800.0,
     poll_sec: float = 15.0,
+    io_bar_sec: float | None = IO_CANARY_BAR_SEC,
 ) -> dict:
     """Bounded spin-wait for a quiet host before timing anything.
 
@@ -86,35 +135,50 @@ def wait_for_quiet_host(
     were invalidated by external load.  "Quiet" means BOTH the 1-minute
     AND the 5-minute load averages are under ``max_load`` — a 1-min dip
     inside a high 5-min average is a lull, not a quiet box (learned in
-    round 8: load-1m 1.30 at launch, 5-min ~16, run failed its SLO).
+    round 8: load-1m 1.30 at launch, 5-min ~16, run failed its SLO) —
+    AND the :func:`io_canary` write+fsync probe under ``io_bar_sec``
+    (learned in round 9: loadavg passed while host IO was 3x degraded;
+    five SLO attempts each cost ~7 min to discover it).  Pass
+    ``io_bar_sec=None`` to disable the IO leg.
 
     Returns a record for the benchmark artifact so every run self-documents
     whether it was gated in, timed out, or launched hot:
-    ``{"gate_passed": bool, "waited_sec": float,
-       "load_1m": float, "load_5m": float}``.
+    ``{"gate_passed": bool, "waited_sec": float, "load_1m": float,
+       "load_5m": float, "io_probe_sec": float, "io_probe_mb_s": float}``.
     """
     import time as _time
 
     t0 = _time.monotonic()
+
+    def record(passed: bool, l1: float, l5: float, probe: dict | None) -> dict:
+        out = {
+            "gate_passed": passed,
+            "waited_sec": round(_time.monotonic() - t0, 1),
+            "load_1m": round(l1, 2),
+            "load_5m": round(l5, 2),
+        }
+        out.update(probe or {"io_probe_sec": -1.0, "io_probe_mb_s": -1.0})
+        return out
+
     while True:
         try:
             l1, l5, _ = os.getloadavg()
         except OSError:
-            return {"gate_passed": False, "waited_sec": 0.0, "load_1m": -1.0, "load_5m": -1.0}
+            return {
+                "gate_passed": False, "waited_sec": 0.0,
+                "load_1m": -1.0, "load_5m": -1.0,
+                "io_probe_sec": -1.0, "io_probe_mb_s": -1.0,
+            }
+        probe = None
         if l1 < max_load and l5 < max_load:
-            return {
-                "gate_passed": True,
-                "waited_sec": round(_time.monotonic() - t0, 1),
-                "load_1m": round(l1, 2),
-                "load_5m": round(l5, 2),
-            }
+            if io_bar_sec is None:
+                return record(True, l1, l5, None)
+            probe = io_canary()
+            # a failed probe (-1) must not spin the gate forever
+            if probe["io_probe_sec"] <= io_bar_sec:
+                return record(True, l1, l5, probe)
         if _time.monotonic() - t0 >= timeout_sec:
-            return {
-                "gate_passed": False,
-                "waited_sec": round(_time.monotonic() - t0, 1),
-                "load_1m": round(l1, 2),
-                "load_5m": round(l5, 2),
-            }
+            return record(False, l1, l5, probe)
         _time.sleep(poll_sec)
 
 

@@ -97,6 +97,15 @@ def test_neighbors_endpoint(registry):
     assert status == 200 and body["N:0"] == []
 
 
+def test_neighbors_missing_node_ids(registry):
+    # empty node_ids (and an absent key entirely) must 200 with {} —
+    # the BETWEEN+IN batch rewrite used to IndexError -> unhandled 500
+    status, body = handle(registry, "neighbors", {"node_ids": []})
+    assert status == 200 and body == {}
+    status, body = handle(registry, "neighbors", {})
+    assert status == 200 and body == {}
+
+
 def test_meta_kg_endpoint(registry):
     status, body = handle(registry, "meta_knowledge_graph")
     assert status == 200

@@ -613,3 +613,39 @@ def test_mp3_metadata_degrade_through_spark(spark):
     for mid in (2, 3):
         assert out[mid].sample_rate is None and out[mid].duration_ms is None
     assert out[3].n_bytes is None and out[2].n_bytes == len(rows_in[1][1])
+
+
+def test_mp3_midstream_degrades_to_partial():
+    """Mid-stream degradation is uniform (crawl payloads splice junk
+    between valid frames): ANY invalid header at a frame boundary after
+    >=1 valid frame — lost sync, wrong version/layer bits, free/bad
+    bitrate, reserved sample rate — returns the frames parsed so far,
+    and n_audio_bytes counts only through the last valid frame."""
+    from ploverdb_spark.operators.audio import build_mp3, parse_mp3
+
+    good = build_mp3(b"q" * 2000, 9, 1, 0)
+    n_good = parse_mp3(good)["n_frames"]
+    assert n_good >= 2
+
+    for junk in (
+        b"\x00garbage after the last valid frame",  # lost sync
+        b"\xff\xf3\x90\x00",  # sync but MPEG-2 version bits
+        b"\xff\xfb\x00\x00",  # sync but free bitrate (index 0)
+        b"\xff\xfb\xf0\x00",  # sync but bad bitrate (index 15)
+        b"\xff\xfb\x9c\x00",  # sync but reserved sample-rate index
+    ):
+        m = parse_mp3(good + junk)
+        assert m is not None, junk
+        assert m["n_frames"] == n_good
+        assert m["n_audio_bytes"] == len(good)  # junk excluded
+
+    # same defects at the FIRST header still return None (pinned by
+    # test_mp3_corrupt_payloads_degrade); partial only after >=1 frame
+    assert parse_mp3(b"\xff\xfb\x00\x00" + good) is None
+
+    # ID3 + mid-stream junk: n_audio_bytes still excludes both the tag
+    # and the junk
+    with_id3 = build_mp3(b"q" * 2000, 9, 1, 0, id3_body=b"\x00" * 64)
+    m = parse_mp3(with_id3 + b"\x00junk")
+    assert m["n_frames"] == n_good and m["has_id3"]
+    assert m["n_audio_bytes"] == len(with_id3) - 74

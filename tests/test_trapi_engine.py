@@ -964,3 +964,13 @@ def test_numeric_edge_id_fast_path_parity(numeric_id_engine, monkeypatch):
         return msg
 
     assert canon(fast) == canon(slow)
+
+
+def test_get_neighbors_empty_ids(engine):
+    """An empty/missing node_ids list (api.py passes
+    payload.get('node_ids', [])) returns {} instead of IndexError-ing
+    on the BETWEEN+IN rewrite's canon_ids[0] access."""
+    assert get_neighbors(engine, []) == {}
+    assert get_neighbors(
+        engine, [], predicates=["biolink:treats"], categories=["biolink:Disease"]
+    ) == {}

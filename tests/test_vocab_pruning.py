@@ -126,3 +126,96 @@ def test_skipped_filters_return_every_row_a_full_filter_would(engine):
     assert narrow == wide  # both N:1-neighbors are Diseases here
     drug_only = _one_hop(engine, ["biolink:Drug"])
     assert drug_only == set()  # pruned-but-present category still filters
+
+
+def test_predicate_skip_disabled_on_null_match_column(spark, engine):
+    """A NULL match column is dropped by the In-list filter but KEPT
+    when the filter is skipped — so a measured NULL anywhere in the
+    vocab scan must disable skip_filter (collect_set silently drops
+    NULLs, making the value invisible to the covering check)."""
+    import dataclasses
+
+    from ploverdb_spark.query.compiler import TrapiEngine
+
+    vocab = engine._get_kg_vocab()
+    assert vocab["predicate_has_null"] is False
+    assert vocab["conglomerate_predicate_has_null"] is False
+
+    kg2 = dataclasses.replace(
+        engine.kg,
+        edges_bidir=engine.kg.edges_bidir.unionByName(
+            engine.kg.edges_bidir.limit(1)
+            .withColumn("predicate", F.lit(None).cast("string"))
+            .withColumn(
+                "conglomerate_predicate", F.lit(None).cast("string")
+            )
+        ),
+    )
+    eng2 = TrapiEngine(kg2, kp_infores_curie="infores:test")
+    v2 = eng2._get_kg_vocab()
+    assert v2["predicate_has_null"] is True
+    # the NULL row is invisible to the vocab set itself...
+    assert v2["predicate"] == vocab["predicate"]
+    # ...so a vocabulary-covering expansion must NOT skip the filter
+    _, _, skip = eng2.prune_predicate_sets(
+        set(), set(vocab["predicate"]), use_congl=False
+    )
+    assert not skip
+    _, _, skip_congl = eng2.prune_predicate_sets(
+        set(), set(v2["conglomerate_predicate"]), use_congl=True
+    )
+    assert not skip_congl
+
+
+def test_rebuild_swaps_vocab(spark, engine, tmp_path):
+    """Vocab lifecycle: ``_kg_vocab`` is cached per-engine and /rebuild
+    swaps WHOLE engines (api.py), so a rebuilt KG's new predicate must
+    be visible to the swapped engine's vocab — pinned here so a future
+    engine-reuse optimization can't silently serve a stale vocab."""
+    import json as _json
+
+    from ploverdb_spark.api import KpRegistry, handle
+
+    reg = KpRegistry(query_timeout_sec=120, rebuild_token="tok")
+    reg.register("kp", engine)
+    assert (
+        "biolink:affects"
+        not in reg.engine("kp")._get_kg_vocab()["predicate"]
+    )
+
+    nodes_file = tmp_path / "nodes.jsonl"
+    nodes_file.write_text(
+        "\n".join(
+            _json.dumps(n)
+            for n in [
+                {"id": "V:1", "name": "v1", "all_categories": ["biolink:Gene"]},
+                {"id": "V:2", "name": "v2", "all_categories": ["biolink:Disease"]},
+            ]
+        )
+    )
+    edges_file = tmp_path / "edges.jsonl"
+    edges_file.write_text(
+        _json.dumps(
+            {"id": "ev", "subject": "V:1", "object": "V:2",
+             "predicate": "biolink:affects",
+             "primary_knowledge_source": "infores:new"}
+        )
+    )
+    status, _ = handle(
+        reg,
+        "rebuild",
+        {"token": "tok", "nodes_file": str(nodes_file),
+         "edges_file": str(edges_file), "config": {"is_test": True}},
+    )
+    assert status == 200
+    v_new = reg.engine("kp")._get_kg_vocab()
+    assert "biolink:affects" in v_new["predicate"]
+    # the pruned filter path actually serves the new predicate
+    qg = {
+        "nodes": {"n00": {"ids": ["V:1"]}, "n01": {}},
+        "edges": {"e00": {"subject": "n00", "object": "n01",
+                          "predicates": ["biolink:affects"]}},
+    }
+    status, body = handle(reg, "query", {"message": {"query_graph": qg}})
+    assert status == 200
+    assert set(body["message"]["knowledge_graph"]["edges"]) == {"ev"}
