@@ -31,6 +31,12 @@ of all docs to exercise cap_per_domain's hot-key gate, and doc_id % 997
 Run:   python corpusbench.py            # primary, ~10 GB text
        python corpusbench.py control    # 10x smaller, for linearity
        CORPUSBENCH_DOCS=25000000 python corpusbench.py   # ~50 GB
+       CORPUSBENCH_PHASES=d2,d7,d6,c8 python corpusbench.py
+           # phase-split decades: c7's shuffle writes ~2 GB/M docs, so
+           # on the ~78 GB thin-provisioned box the third decade (40M
+           # docs, ~57 GB parquet) only fits with c7 excluded; the
+           # dedup/decontamination family's shuffles (~18 GB total at
+           # 40M) do fit.  c7's own linearity is proven through 20M.
 Writes one JSON line to stdout; append tables to SCALEBENCH.md by hand
 (the curated history there is never machine-overwritten).
 """
@@ -217,6 +223,12 @@ def run(n_docs: int, label: str) -> dict:
     meter = PhaseMeter(spark)
     t_all = time.time()
 
+    phases_env = os.environ.get("CORPUSBENCH_PHASES", "")
+    enabled = {p.strip() for p in phases_env.split(",") if p.strip()} or None
+
+    def on(phase: str) -> bool:
+        return enabled is None or phase in enabled
+
     gen = meter.measure("gen", lambda: generate_corpus(spark, sf_dir, n_docs))
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     text_gb = gen["text_gb"]
@@ -237,8 +249,10 @@ def run(n_docs: int, label: str) -> dict:
         ).persist()
         return {"out_rows": pairs.count(), "_pairs": pairs}
 
-    d2_res = meter.measure("d2_lsh_pairs", d2)
-    pairs = d2_res.pop("_pairs")
+    pairs = None
+    if on("d2") or on("d7") or on("d6"):
+        d2_res = meter.measure("d2_lsh_pairs", d2)
+        pairs = d2_res.pop("_pairs")
 
     def d7():
         verified = D.edit_distance_pairs(pairs, docs)
@@ -250,7 +264,8 @@ def run(n_docs: int, label: str) -> dict:
         ).collect()[0]
         return {"out_rows": agg["n"], "confirmed_dups": agg["confirmed"]}
 
-    meter.measure("d7_edit_verify", d7)
+    if on("d7"):
+        meter.measure("d7_edit_verify", d7)
 
     def d6():
         groups = D.connected_components(pairs)
@@ -260,8 +275,10 @@ def run(n_docs: int, label: str) -> dict:
         ).collect()[0]
         return {"out_rows": agg["n"], "n_groups": agg["n_groups"]}
 
-    meter.measure("d6_dup_groups", d6)
-    pairs.unpersist()
+    if on("d6"):
+        meter.measure("d6_dup_groups", d6)
+    if pairs is not None:
+        pairs.unpersist()
 
     def c8():
         grams = D.exploded_word_grams(docs, k=3, as_hash=True)
@@ -274,7 +291,8 @@ def run(n_docs: int, label: str) -> dict:
         )
         return {"out_rows": flagged.count()}
 
-    meter.measure("c8_bloom_decontamination", c8)
+    if on("c8"):
+        meter.measure("c8_bloom_decontamination", c8)
 
     def c7():
         feats = T.text_features(docs).select(
@@ -307,7 +325,8 @@ def run(n_docs: int, label: str) -> dict:
         ).collect()[0]
         return {"out_rows": agg["docs"], "sequences": agg["sequences"]}
 
-    meter.measure("c7_training_mix", c7)
+    if on("c7"):
+        meter.measure("c7_training_mix", c7)
 
     report = {
         "metric": "corpusbench",

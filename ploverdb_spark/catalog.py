@@ -97,101 +97,19 @@ DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
 # emits at most 50 correctness rows while the catalog is 74 — so
-# front-load the entries that most need a fresh row.  Round 9 rotation:
-# the 23 entries whose last driver row is r07 come back first (r08∪r09
-# must cover all 74), then every entry executing this round's changed
-# modules — query/compiler.py + query/response.py (KG-vocab filter
-# pruning: all TRAPI lookups), operators/audio.py (build_flac range
-# guards + the new MP3 walk), operators/dedup.py (connected_components
-# pre-partitioning) — then the new m6 entry and the r5 bench-floor
-# queries s1/s4.  NOTE to driver maintainers: the emitter should assert
-# emitted-row count == len(all_oracles()) instead of relying on this
-# ordering.
+# front-load the entries that most need a fresh row.  Round 10 rotation:
+# the 24 entries whose last driver row is r08 (the r09 tail) come back
+# first (r09∪r10 must cover all 74), then every entry executing this
+# round's changed modules — query/compiler.py (NULL guard on the vocab
+# filter skip) + query/response.py (/neighbors empty-batch guard): all
+# TRAPI lookups; operators/audio.py (uniform parse_mp3 mid-stream
+# degradation): m4-m6; operators/dedup.py (connected_components
+# pre-partition gated on edge count): every dedup-family entry — then
+# the r5 bench-floor queries s1/s4.  NOTE to driver maintainers: the
+# emitter should assert emitted-row count == len(all_oracles()) instead
+# of relying on this ordering.
 _EMIT_FIRST = (
-    # 23 rotated in: last driver row r07 (r08∪r09 covers all 74)
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_fingerprints",
-    "t5_pii_scan",
-    "t6_repetition_scores",
-    "t7_vocab_topk",
-    "t9_tfidf_topk",
-    "t10_pii_redaction",
-    "d1_exact_dedup",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "s3_kmeans_cells",
-    "s5_ivf_multiprobe",
-    "s6_signed_projection",
-    "c6_embedding_quantization",
-    "c1_clean_corpus",
-    "c2_decontamination",
-    "c9_temperature_mixture",
-    "c11_doc_chunking",
-    "set_ops_customers",
-    "a2_first_order_per_customer",
-    "a3_segment_nations",
-    # TRAPI/build entries executing the changed compiler.py/response.py
-    "j2_one_hop_lookup",
-    "j3_trapi_doubly_pinned",
-    "j4_alias_lookup",
-    "j5_subclass_expanded_lookup",
-    "j8_qualified_lookup",
-    "j10_edges_between_pairs",
-    "j11_batch_neighbors",
-    "f3_constrained_lookup",
-    "f4_symmetric_lookup",
-    "r5_single_node_lookup",
-    "a6_result_groups",
-    "a4_normalize_merge",
-    "g2_subclass_closure",
-    "p4_zip_roundtrip",
-    "p6_most_specific_categories",
-    "p7_canonical_flip",
-    # audio module changed this round (range guards + MP3 walk)
-    "m4_audio_metadata",
-    "m5_flac_metadata",
-    "m6_mp3_metadata",  # NEW this round: needs its first driver row
-    # dedup module changed this round (d6 executes the changed CC)
-    "d2_minhash_lsh_pairs",
-    "d5_embedding_neardup",
-    "d6_dup_groups",
-    "d7_edit_distance_verify",
-    "c8_bloom_decontamination",
-    "c10_lsh_decontamination",
-    # r5 bench-floor queries
-    "s1_cosine_topk",
-    "s4_ivf_recall",
-)
-
-
-# Emitted LAST: when the driver's 50-row cap truncates the catalog,
-# these are the safest rows to lose (their last green row still
-# describes the current code).  Entries exercising this round's changed
-# modules must stay inside the emitted window.
-_EMIT_LAST = (
-    # exactly (catalog - 50) entries: 74-entry catalog minus the driver's
-    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
-    # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r08.  Executed-code provenance for the round-9 changes:
-    # the first 12 entries' chains contain NO module changed in round 9
-    # (queries/relational.py, queries/windows.py untouched).  The rest
-    # are chain-tainted by IMPORT only — their executed code is
-    # line-identical to the r08-green state: m1-m3 execute
-    # operators/multimodal.py (untouched; their registration module
-    # queries/media.py changed only by APPENDING the m6 wrapper);
-    # c3/c4/c5/t8/s2/c7 execute packing/text/similarity/pipeline
-    # (untouched; tainted via pipeline.py's module-level import of the
-    # changed operators/dedup.py, whose changed lines sit inside
-    # connected_components/bloom_decontaminate — functions none of them
-    # call); a1_meta_kg/a2_test_triples/a3_meta_nodes execute
-    # build/meta_kg.py (untouched; tainted via an import of the changed
-    # query/compiler.py but construct no TrapiEngine, and the round-9
-    # compiler change is confined to TrapiEngine methods).
-    # tests/test_emission_rotation.py pins each entry's full transitive
-    # module chain by content hash; any unpinned change to a chain module
-    # fails that test loudly instead of silently staling a tail row.
+    # 24 rotated in: last driver row r08 (r09∪r10 covers all 74)
     "a1_pricing_summary",
     "a6_conditional_grouping",
     "f1_event_type_stats",
@@ -216,6 +134,90 @@ _EMIT_LAST = (
     "a1_meta_kg",
     "a2_test_triples",
     "a3_meta_nodes",
+    # TRAPI entries executing the changed compiler.py/response.py
+    "j2_one_hop_lookup",
+    "j3_trapi_doubly_pinned",
+    "j4_alias_lookup",
+    "j5_subclass_expanded_lookup",
+    "j8_qualified_lookup",
+    "j10_edges_between_pairs",
+    "j11_batch_neighbors",
+    "f3_constrained_lookup",
+    "f4_symmetric_lookup",
+    "r5_single_node_lookup",
+    "a6_result_groups",
+    "g2_subclass_closure",
+    # audio module changed this round (parse_mp3 partial-result walk)
+    "m4_audio_metadata",
+    "m5_flac_metadata",
+    "m6_mp3_metadata",
+    # dedup module changed this round (d6 executes the gated CC)
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "d5_embedding_neardup",
+    "d6_dup_groups",
+    "d7_edit_distance_verify",
+    "c8_bloom_decontamination",
+    "c10_lsh_decontamination",
+    # r5 bench-floor queries
+    "s1_cosine_topk",
+    "s4_ivf_recall",
+)
+
+
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
+_EMIT_LAST = (
+    # exactly (catalog - 50) entries: 74-entry catalog minus the driver's
+    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
+    # order leaves last.  Every entry here has a green DRIVER row in
+    # CORRECTNESS_r09.  Executed-code provenance for the round-10
+    # changes (query/compiler.py, query/response.py, operators/dedup.py,
+    # operators/audio.py; catalog.py changed only in the rotation tuples
+    # and comments, which cannot alter any entry's output): the
+    # relational trio (set_ops/a2_first/a3_segment) executes
+    # queries/relational.py — no changed module in its chain at all.
+    # The pipeline-family entries (t1-t7/t9/t10, s3/s5/s6, c1/c2/c6/c9/
+    # c11) execute text/similarity/chunking/pipeline (all untouched;
+    # chain-tainted via pipeline.py's module-level import of the changed
+    # operators/dedup.py, whose round-10 change is a size gate inside
+    # connected_components — a function none of them call).  The
+    # semantics-registered build entries (p4/p6/p7/a4) execute
+    # sources/kgx.py and build/ingest.py (untouched; tainted via an
+    # import of the changed query/compiler.py but construct no
+    # TrapiEngine, and the round-10 compiler change is confined to the
+    # TrapiEngine vocab-skip guard).
+    # tests/test_emission_rotation.py pins each entry's full transitive
+    # module chain by content hash; any unpinned change to a chain module
+    # fails that test loudly instead of silently staling a tail row.
+    "set_ops_customers",
+    "a2_first_order_per_customer",
+    "a3_segment_nations",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
+    "t5_pii_scan",
+    "t6_repetition_scores",
+    "t7_vocab_topk",
+    "t9_tfidf_topk",
+    "t10_pii_redaction",
+    "s3_kmeans_cells",
+    "s5_ivf_multiprobe",
+    "s6_signed_projection",
+    "c1_clean_corpus",
+    "c2_decontamination",
+    "c6_embedding_quantization",
+    "c9_temperature_mixture",
+    "c11_doc_chunking",
+    "p4_zip_roundtrip",
+    "p6_most_specific_categories",
+    "p7_canonical_flip",
+    "a4_normalize_merge",
 )
 
 
