@@ -122,6 +122,14 @@ class PhaseMeter:
         rec = {"wall_sec": round(wall, 1), **{
             f"{k}_mb": round(v / 1e6, 1) for k, v in delta.items()
         }}
+        # Nudge the JVM so ContextCleaner reaps the previous phase's
+        # shuffle files promptly: on the ~78 GB thin-provisioned box the
+        # 40M-doc run's parquet (~57 GB) plus two phases' un-reaped
+        # shuffles would ENOSPC, while any single phase fits comfortably.
+        try:
+            self.spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         if isinstance(result, dict):
             rec.update({k: v for k, v in result.items() if not k.startswith("_")})
         self.phases[name] = rec
