@@ -62,8 +62,17 @@ SERVING_SQL_CONF = {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     # serving plans are tiny and stable; AQE re-planning is driver overhead
     "spark.sql.adaptive.enabled": "false",
-    # keep pinned-id IN-lists in In form for cached-scan stat pruning
-    "spark.sql.optimizer.inSetConversionThreshold": "1024",
+    # Membership form for pinned-id lists: In up to 16 values, InSet
+    # (hash per-row) above.  Round-10 profiling on the cached 60M-row
+    # edges_bidir measured the linear In eval at 0.90-1.7 s for a 100-id
+    # list (it IS the /neighbors repeat-batch cost) vs 0.24-0.31 s for
+    # InSet — In-form batch-stat pruning only removes ~1/3 of sorted
+    # batches when 100 ids spread across the id space, so the per-row
+    # form dominates.  Typical TRAPI pinned lists (1-2 ids, synonym fans
+    # of a handful) stay In and keep full stat pruning; big batches keep
+    # stat pruning through their explicit BETWEEN conjunct
+    # (query/response.py get_neighbors) while membership goes hash.
+    "spark.sql.optimizer.inSetConversionThreshold": "16",
 }
 
 

@@ -440,14 +440,27 @@ def jvm_current_rss_gb(spark) -> float | None:
 
 def burst_endurance(registry, spark, n_bursts: int = 5) -> dict:
     """Endurance: ``n_bursts`` back-to-back 100-request HTTP bursts against
-    ONE serving process (fresh request mix per burst via the seed).  A
-    serving leak shows up as p95 creeping burst-over-burst or RSS ratcheting
-    instead of returning to rest; the bars are per-burst p95 flat within
-    ±20% of the median and final RSS within 10% of the first burst's."""
+    ONE serving process.  A serving leak shows up as p95 creeping
+    burst-over-burst or RSS ratcheting instead of returning to rest; the
+    bars are per-burst p95 flat within ±20% of the median and final RSS
+    within 10% of the first burst's.
+
+    Every burst fires the SAME request mix (one seed): the flatness bar
+    compares latency distributions, and with per-burst seeds those were
+    distributions of DIFFERENT workloads — round-10 A/B showed per-burst
+    p95 tracks the seed's hub draws (~29 s for seeds 8/9, ~47 s for
+    seeds 10/11 in BOTH runs), drowning any leak signal in mix variance.
+    The engine has no answer memoization, so a repeated mix re-does full
+    work each burst — identical work repeated is exactly what a flatness
+    bar needs.  Seed 1007 is disjoint from the primary burst's (7) so the
+    primary's cold-vs-warm story stays intact; set
+    ``SCALEBENCH_ENDURANCE_FRESH_MIX=1`` for the old per-burst seeds."""
+    fresh_mix = bool(os.environ.get("SCALEBENCH_ENDURANCE_FRESH_MIX"))
     per_burst = []
     rss = []
     for i in range(n_bursts):
-        stats = burst_http(registry, rng_seed=7 + i, port=9993 + i)
+        seed = 7 + i if fresh_mix else 1007
+        stats = burst_http(registry, rng_seed=seed, port=9993 + i)
         r = jvm_current_rss_gb(spark)
         rss.append(r)
         per_burst.append(
@@ -626,6 +639,33 @@ def main() -> None:
         )
     report["serve_warm_sec"] = round(time.time() - t0, 1)
     print(f"# serving warm (cache+maps+priming) in {report['serve_warm_sec']}s", flush=True)
+
+    # Concurrent warmup: the first concurrent burst a fresh serving
+    # process takes is systematically its worst (round-10 decay shape:
+    # p95 88.3 primary -> 58.5 -> 44.2/34.7/48.2/43.8 across endurance) —
+    # two SERIAL priming queries leave per-worker JIT, codegen-cache and
+    # GC-ramp costs to be paid under measurement.  The reference pays
+    # these at container start (uwsgi forks its resting pool before
+    # taking traffic), so pay them here too: one unmeasured mixed-shape
+    # mini-burst through the same worker pool.  Seed 999 is disjoint from
+    # every measured burst seed (primary 7, endurance 7+i), so this warms
+    # machinery, not answers.
+    if not os.environ.get("SCALEBENCH_NO_CONCURRENT_WARMUP"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        warm_reqs = burst_requests(rng_seed=999)[:24]
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(warm_reqs)) as pool:
+            list(
+                pool.map(
+                    lambda pp: handle(registry, pp[0], pp[1]), warm_reqs
+                )
+            )
+        report["warmup_burst_sec"] = round(time.time() - t0, 1)
+        print(
+            f"# concurrent warmup (24 reqs) in {report['warmup_burst_sec']}s",
+            flush=True,
+        )
 
     # serial latency baseline (uncontended) before the burst
     lat = []

@@ -61,10 +61,14 @@ def test_pushdown_builds_in_constant_py4j_calls(spark, monkeypatch):
     assert filtered.count() == 0  # and the plan still executes
 
 
-def test_in_predicate_is_catalyst_in_form(spark):
-    """The parsed predicate must surface as In(...) in the plan (cached-
-    scan stat pruning evaluates In but ignores InSet; serving keeps the
-    conversion threshold high via SERVING_SQL_CONF)."""
+def test_in_predicate_membership_form_split(spark):
+    """Pin the serving membership-form split (SERVING_SQL_CONF threshold
+    16): small pinned-id lists stay In (full cached-batch stat pruning),
+    big batches become InSet (hash per-row).  Round-10 profiling on the
+    cached 60M-row edges_bidir: a 100-id linear In costs 0.90-1.7 s per
+    scan — it WAS the /neighbors repeat-batch cost — vs 0.24-0.31 s as
+    InSet; stat pruning for big batches survives via the explicit
+    BETWEEN conjunct in get_neighbors."""
     from ploverdb_spark.session import SERVING_SQL_CONF
 
     old = spark.conf.get("spark.sql.optimizer.inSetConversionThreshold")
@@ -74,10 +78,20 @@ def test_in_predicate_is_catalyst_in_form(spark):
             SERVING_SQL_CONF["spark.sql.optimizer.inSetConversionThreshold"],
         )
         df = spark.range(10).select(F.col("id").cast("string").alias("k"))
-        plan = df.where(
-            in_predicate("k", [f"X:{i}" for i in range(100)])
-        )._jdf.queryExecution().optimizedPlan().toString()
-        assert " IN (" in plan or "In(" in plan, plan
-        assert "INSET" not in plan.upper().replace("IN SET", "INSET"), plan
+
+        def optimized(n):
+            return (
+                df.where(in_predicate("k", [f"X:{i}" for i in range(n)]))
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+
+        small = optimized(10)
+        assert " IN (" in small or "In(" in small, small
+        assert "INSET" not in small.upper().replace("IN SET", "INSET"), small
+
+        big = optimized(100)
+        assert "INSET" in big.upper().replace("IN SET", "INSET"), big
     finally:
         spark.conf.set("spark.sql.optimizer.inSetConversionThreshold", old)
