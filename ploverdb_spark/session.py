@@ -185,6 +185,14 @@ def wait_for_quiet_host(
             probe = io_canary()
             # a failed probe (-1) must not spin the gate forever
             if probe["io_probe_sec"] <= io_bar_sec:
+                # Sustained-bulk reading alongside the latency canary,
+                # RECORDED but never gating: round 10 proved the 32 MB
+                # fsync probe blind to a persistent ~3.8x bulk-IO state
+                # change (probe 405-467 MB/s while the byte-identical
+                # build path ran 4.0 -> 15.1 min) — attribution took a
+                # byte-identity argument the artifact could have carried.
+                bulk = io_canary(n_mb=256, trials=1)
+                probe["io_bulk_mb_s"] = bulk["io_probe_mb_s"]
                 return record(True, l1, l5, probe)
         if _time.monotonic() - t0 >= timeout_sec:
             return record(False, l1, l5, probe)
