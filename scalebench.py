@@ -563,6 +563,12 @@ def main() -> None:
         report["build_sec"] = report["build_min"] = report["generate_sec"] = None
         report["jvm_peak_rss_gb_after_build"] = None
         report["artifact_gb"] = None
+        # full-cycle parent passes its build stats through this env var so
+        # the fresh-process serve phase emits ONE merged run record
+        stats_path = os.environ.get("SCALEBENCH_BUILD_STATS")
+        if stats_path:
+            with open(stats_path, encoding="utf-8") as f:
+                report.update(json.load(f))
     else:
         t0 = time.time()
         generate_kgx(spark, kgx_dir)
@@ -585,6 +591,44 @@ def main() -> None:
             f"{report['artifact_gb']} GB on disk",
             flush=True,
         )
+        if not os.environ.get("SCALEBENCH_SERVE_IN_PROCESS"):
+            # Serve from a FRESH process, like the reference (ETL script,
+            # then uwsgi): a JVM that just executed the ~350 build stages
+            # serves the same artifacts ~10x slower (round-10 measurement:
+            # serial one-hop 2.66-3.45 s post-build vs 0.28-0.31 s in a
+            # fresh serving JVM — codegen-cache bloat, fragmented heap,
+            # GC ramp).  The child re-gates on the quiet-host bar, reads
+            # the build stats from a scratch file, and appends ONE merged
+            # full-cycle record.
+            import subprocess
+            import sys as _sys
+            import tempfile
+
+            stats = {
+                k: report[k]
+                for k in (
+                    "generate_sec",
+                    "build_sec",
+                    "build_min",
+                    "jvm_peak_rss_gb_after_build",
+                    "artifact_gb",
+                )
+            }
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as f:
+                json.dump(stats, f)
+                stats_path = f.name
+            spark.stop()
+            env = dict(os.environ, SCALEBENCH_BUILD_STATS=stats_path)
+            try:
+                rc = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__), "serve"],
+                    env=env,
+                ).returncode
+            finally:
+                os.unlink(stats_path)
+            raise SystemExit(rc)
 
     # Serve from the bucketed artifacts, cached (the production stance):
     # bucketed-scan + AQE-off + In-form id lists (see SERVING_SQL_CONF for
@@ -731,7 +775,10 @@ def main() -> None:
     report["jvm_peak_rss_gb_final"] = jvm_peak_rss_gb(spark)
     print(json.dumps(report), flush=True)
 
-    if serve_only:  # diagnostic mode: don't touch the curated report
+    # standalone serve mode is diagnostic (no curated-report append); a
+    # fresh-process serve phase carrying full-cycle build stats appends
+    # the merged record
+    if serve_only and not os.environ.get("SCALEBENCH_BUILD_STATS"):
         return
     # SCALEBENCH.md is a curated, hand-maintained document (round-by-round
     # narrative + run tables) — never overwrite it.  Append this run's
