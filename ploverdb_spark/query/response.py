@@ -811,9 +811,18 @@ def get_edges(engine: TrapiEngine, pairs: list[list[str]]) -> dict:
         and len(canon_ids) <= MAX_ISIN_PUSHDOWN
     ):
         # scan pruning (see pushdown_id_filter): both join orientations
-        # require subject AND object in the requested id set
+        # require subject AND object in the requested id set.  The
+        # BETWEEN conjuncts (canon_ids is sorted) keep min/max batch-stat
+        # pruning on the sorted cached/bucketed tables when the id list
+        # crosses inSetConversionThreshold (16 under SERVING_SQL_CONF)
+        # and membership goes InSet — same design as get_neighbors and
+        # pushdown_id_filter.
+        lo, hi = canon_ids[0], canon_ids[-1]
         e = e.where(
-            in_predicate("subject", canon_ids) & in_predicate("object", canon_ids)
+            F.col("subject").between(lo, hi)
+            & in_predicate("subject", canon_ids)
+            & F.col("object").between(lo, hi)
+            & in_predicate("object", canon_ids)
         )
     fwd = e.join(
         F.broadcast(pairs_df),

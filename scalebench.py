@@ -454,12 +454,18 @@ def burst_endurance(registry, spark, n_bursts: int = 5) -> dict:
     work each burst — identical work repeated is exactly what a flatness
     bar needs.  Seed 1007 is disjoint from the primary burst's (7) so the
     primary's cold-vs-warm story stays intact; set
-    ``SCALEBENCH_ENDURANCE_FRESH_MIX=1`` for the old per-burst seeds."""
-    fresh_mix = bool(os.environ.get("SCALEBENCH_ENDURANCE_FRESH_MIX"))
+    ``SCALEBENCH_ENDURANCE_FRESH_MIX=1`` for legacy per-burst seeds
+    (107+i — offset so burst 0 never duplicates the primary's seed 7;
+    "0"/empty means off, not "any non-empty value is on")."""
+    fresh_mix = os.environ.get("SCALEBENCH_ENDURANCE_FRESH_MIX") not in (
+        None,
+        "",
+        "0",
+    )
     per_burst = []
     rss = []
     for i in range(n_bursts):
-        seed = 7 + i if fresh_mix else 1007
+        seed = 107 + i if fresh_mix else 1007
         stats = burst_http(registry, rng_seed=seed, port=9993 + i)
         r = jvm_current_rss_gb(spark)
         rss.append(r)
@@ -535,12 +541,21 @@ def main() -> None:
 
     # Self-gate (bounded): wait for 1-min AND 5-min load < 2.5 before any
     # timed phase, so the run record proves quiet instead of documenting
-    # contention after the fact.  SCALEBENCH_NO_GATE=1 skips.
+    # contention after the fact.  SCALEBENCH_NO_GATE=1 skips.  The gate
+    # also requires sustained bulk-IO >= 50 MB/s by default (round 10:
+    # the 32 MB latency probe passed while bulk throughput sat at
+    # 10.5 MB/s and every timed phase measured the host, not the
+    # engine); SCALEBENCH_BULK_BAR_MB_S overrides, "0" disables.
     if os.environ.get("SCALEBENCH_NO_GATE"):
         load_gate = {"gate_passed": None, "waited_sec": 0.0}
     else:
+        from ploverdb_spark.session import IO_BULK_BAR_MB_S
+
+        bulk_bar = float(
+            os.environ.get("SCALEBENCH_BULK_BAR_MB_S", IO_BULK_BAR_MB_S)
+        )
         print("# waiting (<= 30 min) for quiet host ...", flush=True)
-        load_gate = wait_for_quiet_host()
+        load_gate = wait_for_quiet_host(bulk_bar_mb_s=bulk_bar or None)
         print(f"# load gate: {load_gate}", flush=True)
 
     spark = get_spark("scalebench")
@@ -621,6 +636,7 @@ def main() -> None:
                 stats_path = f.name
             spark.stop()
             env = dict(os.environ, SCALEBENCH_BUILD_STATS=stats_path)
+            rc = 1  # pessimistic: a crashed child must not read as success
             try:
                 rc = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__), "serve"],
@@ -628,6 +644,17 @@ def main() -> None:
                 ).returncode
             finally:
                 os.unlink(stats_path)
+                if rc != 0:
+                    # child aborted (canary bar / crash) — keep the build
+                    # stats durable so an 8-minute build never vanishes
+                    keep = f"{WORK_DIR}/build_stats_last.json"
+                    with open(keep, "w", encoding="utf-8") as f:
+                        json.dump(stats, f)
+                    print(
+                        f"# serve child exited rc={rc}; "
+                        f"build stats kept at {keep}",
+                        flush=True,
+                    )
             raise SystemExit(rc)
 
     # Serve from the bucketed artifacts, cached (the production stance):
@@ -692,8 +719,8 @@ def main() -> None:
     # these at container start (uwsgi forks its resting pool before
     # taking traffic), so pay them here too: one unmeasured mixed-shape
     # mini-burst through the same worker pool.  Seed 999 is disjoint from
-    # every measured burst seed (primary 7, endurance 7+i), so this warms
-    # machinery, not answers.
+    # every measured burst seed (primary 7, endurance 1007, legacy
+    # fresh-mix 107+i), so this warms machinery, not answers.
     if not os.environ.get("SCALEBENCH_NO_CONCURRENT_WARMUP"):
         from concurrent.futures import ThreadPoolExecutor
 
@@ -753,7 +780,23 @@ def main() -> None:
         )
         print(f"# ABORT: {report['aborted']} — host degraded, retry later", flush=True)
         print(json.dumps(report), flush=True)
-        return
+        # Full-cycle child: the parent's build record must survive the
+        # abort — append an explicit aborted-run block (build numbers +
+        # abort reason, no SLO lines), and exit NONZERO so the parent's
+        # SystemExit(rc) reports the abort instead of success.
+        if os.environ.get("SCALEBENCH_BUILD_STATS"):
+            with open("SCALEBENCH.md", "a", encoding="utf-8") as f:
+                f.write(
+                    f"\n## Aborted run record "
+                    f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})"
+                    f": {report['aborted']}\n\n"
+                    f"Build completed before the serve-phase canary abort: "
+                    f"build {report['build_min']} min, peak RSS "
+                    f"{report['jvm_peak_rss_gb_after_build']} GiB, artifacts "
+                    f"{report['artifact_gb']} GB; gate={json.dumps(load_gate)}. "
+                    f"No SLO numbers recorded (host degraded).\n"
+                )
+        raise SystemExit(3)
 
     report["host_load_avg_pre_burst"] = os.getloadavg()[0]
     # HTTP (out-of-process client) is the honest default; the in-process
