@@ -87,31 +87,40 @@ def main() -> None:
         names = [n.strip() for n in only.split(",") if n.strip()]
         qs = {n: qs[n] for n in names}
 
-    # Warmup: prime JVM, codegen, and parquet footer caches.
+    # Warmup: prime JVM, codegen, and parquet footer caches with one FULL
+    # execution per query.  limit(1) warmup (used through round 10) left
+    # iterative plans cold — d6's pointer-jump CC short-circuits under a
+    # limit, so its first timed rep paid JIT/codegen warmth and the
+    # min-of-3 floor was only reachable with external context
+    # (BENCH_r10: 2.666 emitted vs 2.179 min-of-3 in a warm window).
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).limit(1).count()
+            fn(spark, sf_dir).count()
         except Exception:
             pass
         _progress(f"# warmup {name}: {time.perf_counter() - t0:.2f}s")
 
     # min-of-N per query: single runs carry multi-second scheduler/GC
     # jitter in local mode; the min is the steady-state cost of the plan.
+    # Every rep is also emitted (query_reps) so a floor read is auditable
+    # from the artifact alone — the jitter is visible, not hidden.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    rep_lists: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        best = -1.0
+        runs: list[float] = []
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            timings[name] = round(best, 4)
-            _progress(f"# timed {name}: {best:.2f}s")
+                runs.append(round(time.perf_counter() - t0, 4))
+            rep_lists[name] = runs
+            timings[name] = min(runs)
+            _progress(f"# timed {name}: {timings[name]:.2f}s {runs}")
         except Exception as exc:  # a failing query should not hide the rest
             timings[name] = -1.0
+            rep_lists[name] = runs
             print(f"# bench error {name}: {exc}")
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
@@ -122,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_reps": rep_lists,
                 "sf": sf,
                 "host_load_avg_start": load0,
                 "host_load_avg_end": _host_load(),
