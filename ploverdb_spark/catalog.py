@@ -96,104 +96,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 74 — so
-# front-load the entries that most need a fresh row.  Round 10 rotation:
-# the 24 entries whose last driver row is r08 (the r09 tail) come back
-# first (r09∪r10 must cover all 74), then every entry executing this
-# round's changed modules — query/compiler.py (NULL guard on the vocab
-# filter skip) + query/response.py (/neighbors empty-batch guard): all
-# TRAPI lookups; operators/audio.py (uniform parse_mp3 mid-stream
-# degradation): m4-m6; operators/dedup.py (connected_components
-# pre-partition gated on edge count): every dedup-family entry — then
-# the r5 bench-floor queries s1/s4.  NOTE to driver maintainers: the
-# emitter should assert emitted-row count == len(all_oracles()) instead
-# of relying on this ordering.
+# emits at most 50 correctness rows while the catalog is 76 — so
+# front-load the entries that most need a fresh row.  Round 11 rotation:
+# the 24 entries whose last driver row is r09 (the r10 tail) come back
+# first (r10∪r11 must cover all 76), then the two NEW entries
+# (m7_jpeg_metadata, c12_token_window_decontamination — never measured),
+# then every remaining entry executing this round's changed modules —
+# operators/dedup.py + queries/pipeline.py (token-window decontamination
+# operators + c12 registration): the rest of the pipeline family;
+# operators/multimodal.py + queries/media.py (JPEG segment walk + m7):
+# m1-m6 — and j10_edges_between_pairs, whose serving sibling
+# (query/response.py get_edges) gained BETWEEN stat-pruning conjuncts
+# this round.  NOTE to driver maintainers: the emitter should assert
+# emitted-row count == len(all_oracles()) instead of relying on this
+# ordering.
 _EMIT_FIRST = (
-    # 24 rotated in: last driver row r08 (r09∪r10 covers all 74)
-    "a1_pricing_summary",
-    "a6_conditional_grouping",
-    "f1_event_type_stats",
-    "f5_top_orders",
-    "j11_order_parts",
-    "j12_asof_last_order",
-    "j1_customers_without_orders",
-    "j2_region_revenue",
-    "j3_doubly_pinned",
-    "w1_sessionize",
-    "w2_rollup_orders",
-    "w3_value_deltas",
-    "m1_media_features",
-    "m2_frame_samples",
-    "m3_resize_dims",
-    "c3_sequence_packing",
-    "c4_stratified_sample",
-    "c5_domain_cap",
-    "t8_quality_quantile",
-    "s2_ivf_topk",
-    "c7_training_mix",
-    "a1_meta_kg",
-    "a2_test_triples",
-    "a3_meta_nodes",
-    # TRAPI entries executing the changed compiler.py/response.py
-    "j2_one_hop_lookup",
-    "j3_trapi_doubly_pinned",
-    "j4_alias_lookup",
-    "j5_subclass_expanded_lookup",
-    "j8_qualified_lookup",
-    "j10_edges_between_pairs",
-    "j11_batch_neighbors",
-    "f3_constrained_lookup",
-    "f4_symmetric_lookup",
-    "r5_single_node_lookup",
-    "a6_result_groups",
-    "g2_subclass_closure",
-    # audio module changed this round (parse_mp3 partial-result walk)
-    "m4_audio_metadata",
-    "m5_flac_metadata",
-    "m6_mp3_metadata",
-    # dedup module changed this round (d6 executes the gated CC)
-    "d1_exact_dedup",
-    "d2_minhash_lsh_pairs",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "d5_embedding_neardup",
-    "d6_dup_groups",
-    "d7_edit_distance_verify",
-    "c8_bloom_decontamination",
-    "c10_lsh_decontamination",
-    # r5 bench-floor queries
-    "s1_cosine_topk",
-    "s4_ivf_recall",
-)
-
-
-# Emitted LAST: when the driver's 50-row cap truncates the catalog,
-# these are the safest rows to lose (their last green row still
-# describes the current code).  Entries exercising this round's changed
-# modules must stay inside the emitted window.
-_EMIT_LAST = (
-    # exactly (catalog - 50) entries: 74-entry catalog minus the driver's
-    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
-    # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r09.  Executed-code provenance for the round-10
-    # changes (query/compiler.py, query/response.py, operators/dedup.py,
-    # operators/audio.py; catalog.py changed only in the rotation tuples
-    # and comments, which cannot alter any entry's output): the
-    # relational trio (set_ops/a2_first/a3_segment) executes
-    # queries/relational.py — no changed module in its chain at all.
-    # The pipeline-family entries (t1-t7/t9/t10, s3/s5/s6, c1/c2/c6/c9/
-    # c11) execute text/similarity/chunking/pipeline (all untouched;
-    # chain-tainted via pipeline.py's module-level import of the changed
-    # operators/dedup.py, whose round-10 change is a size gate inside
-    # connected_components — a function none of them call).  The
-    # semantics-registered build entries (p4/p6/p7/a4) execute
-    # sources/kgx.py and build/ingest.py (untouched; tainted via an
-    # import of the changed query/compiler.py but construct no
-    # TrapiEngine, and the round-10 compiler change is confined to the
-    # TrapiEngine vocab-skip guard).
-    # tests/test_emission_rotation.py pins each entry's full transitive
-    # module chain by content hash; any unpinned change to a chain module
-    # fails that test loudly instead of silently staling a tail row.
+    # 24 rotated in: last driver row r09 (r10∪r11 covers all 76)
     "set_ops_customers",
     "a2_first_order_per_customer",
     "a3_segment_nations",
@@ -218,6 +136,93 @@ _EMIT_LAST = (
     "p6_most_specific_categories",
     "p7_canonical_flip",
     "a4_normalize_merge",
+    # new this round — never driver-measured
+    "m7_jpeg_metadata",
+    "c12_token_window_decontamination",
+    # remaining pipeline family (operators/dedup.py + queries/pipeline.py
+    # changed: token-window operators added, c12 registered)
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "d5_embedding_neardup",
+    "d6_dup_groups",
+    "d7_edit_distance_verify",
+    "c8_bloom_decontamination",
+    "c10_lsh_decontamination",
+    "t8_quality_quantile",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "s4_ivf_recall",
+    "c3_sequence_packing",
+    "c4_stratified_sample",
+    "c5_domain_cap",
+    "c7_training_mix",
+    # media family (operators/multimodal.py + queries/media.py changed:
+    # JPEG walk added, m7 registered)
+    "m1_media_features",
+    "m2_frame_samples",
+    "m3_resize_dims",
+    "m4_audio_metadata",
+    "m5_flac_metadata",
+    "m6_mp3_metadata",
+    # /edges semantics sibling: response.py get_edges gained BETWEEN
+    # conjuncts this round (j10 re-expresses the same pair-join shape)
+    "j10_edges_between_pairs",
+)
+
+
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
+_EMIT_LAST = (
+    # exactly (catalog - 50) entries: 76-entry catalog minus the driver's
+    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
+    # order leaves last.  Every entry here has a green DRIVER row in
+    # CORRECTNESS_r10.  Executed-code provenance for the round-11
+    # changes (query/response.py get_edges BETWEEN conjuncts,
+    # session.py io_bulk_probe/gate, operators/multimodal.py JPEG walk,
+    # operators/dedup.py token-window operators, queries/pipeline.py c12,
+    # queries/media.py m7; catalog.py changed only in the rotation tuples
+    # and comments, which cannot alter any entry's output): every tail
+    # entry registers in queries/graph.py, queries/relational.py,
+    # queries/semantics.py or queries/windows.py, whose transitive
+    # chains (compiler.py, ingest.py, kgx.py, closure.py, meta_kg.py,
+    # localdf.py, constraints.py, biolink_*, common.py, text via none)
+    # contain NO round-11-changed module at all — graph.py's j11/j2
+    # lookups run compiler.py (untouched) and re-express the /edges and
+    # /neighbors join shapes directly rather than through the changed
+    # response.py, and session.py is not imported by any catalog entry.
+    # tests/test_emission_rotation.py pins each entry's full transitive
+    # module chain by content hash; any unpinned change to a chain module
+    # fails that test loudly instead of silently staling a tail row.
+    "a1_meta_kg",
+    "g2_subclass_closure",
+    "j11_batch_neighbors",
+    "j2_one_hop_lookup",
+    "j5_subclass_expanded_lookup",
+    "a1_pricing_summary",
+    "a6_conditional_grouping",
+    "f1_event_type_stats",
+    "f5_top_orders",
+    "j11_order_parts",
+    "j1_customers_without_orders",
+    "j2_region_revenue",
+    "j3_doubly_pinned",
+    "a2_test_triples",
+    "a3_meta_nodes",
+    "a6_result_groups",
+    "f3_constrained_lookup",
+    "f4_symmetric_lookup",
+    "j3_trapi_doubly_pinned",
+    "j4_alias_lookup",
+    "j8_qualified_lookup",
+    "r5_single_node_lookup",
+    "j12_asof_last_order",
+    "w1_sessionize",
+    "w2_rollup_orders",
+    "w3_value_deltas",
 )
 
 

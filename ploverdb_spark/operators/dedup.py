@@ -782,6 +782,108 @@ def bloom_decontaminate(
     )
 
 
+def exploded_positional_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """(id, pos, h) rows: the md5 of every k-token window of the document,
+    keyed by its 1-based start-token position — the position-AWARE sibling
+    of :func:`exploded_word_grams` (same explode-before-construction
+    whole-stage-codegen shape; same tokenization).  Documents shorter than
+    ``k`` tokens emit NO windows (a doc that cannot contain a k-token
+    overlap has nothing to check), unlike exploded_word_grams' whole-doc
+    fallback — set-membership consumers want a gram per doc, span
+    consumers want exactly the real windows."""
+    toks = df.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    idx = toks.where(n >= k).select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(1), n - k + 1)).alias("pos"),
+    )
+    win = [F.get(F.col("__t"), F.col("pos") - 1 + j) for j in range(k)]
+    return idx.select(
+        id_col, "pos", F.md5(F.concat_ws(" ", *win)).alias("h")
+    )
+
+
+def merge_window_hits(
+    hits: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Merge matched k-token window start positions into maximal
+    contaminated token spans (gaps-and-islands): windows at ``p1 <= p2``
+    belong to one span when ``p2 - p1 <= window`` (their token ranges
+    overlap or touch).  Output per span: 1-based ``span_start`` /
+    ``span_end`` token indices, ``span_len``, and ``n_windows`` (matched
+    windows inside the span).  One shuffle on ``id_col`` — hits are the
+    sparse output of a contamination join, tiny next to the corpus."""
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    p = F.col(pos_col)
+    marked = hits.withColumn(
+        "__brk",
+        F.when(p - F.lag(pos_col).over(w) <= window, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = marked.withColumn("__g", F.sum("__brk").over(w))
+    return (
+        grp.groupBy(id_col, "__g")
+        .agg(
+            F.min(pos_col).alias("span_start"),
+            (F.max(pos_col) + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .drop("__g")
+    )
+
+
+def token_window_decontaminate(
+    docs: DataFrame,
+    window: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_mod: int = 97,
+) -> DataFrame:
+    """Token-window exact-substring decontamination (the standard "any
+    N-consecutive-token overlap with a benchmark" check; N=50 in most
+    published pipelines, smaller here for the short synthetic docs):
+    corpus documents are scanned with a stride-1 sliding window of
+    ``window`` tokens, every window that exactly matches ANY benchmark
+    window is a hit, and hits merge into maximal contaminated spans so
+    the pipeline can EXCISE the span (the usual remediation) instead of
+    dropping the document.
+
+    Where this sits in the family: c2 is exact n-gram SET membership
+    (small n, doc-level flag), c8 is the Bloom-bounded version, c10 is
+    probabilistic near-dup (LSH) — this is the positional exact check:
+    same broadcast-the-benchmark scale shape (eval suites are tiny; the
+    corpus side streams through one explode + broadcast semi join), plus
+    one sparse per-doc window merge.  Docs with doc_id %% ``bench_mod``
+    == 0 stand in for the benchmark suite."""
+    grams = exploded_positional_grams(
+        docs, text_col=text_col, id_col=id_col, k=window
+    )
+    bench = (
+        grams.where(F.col(id_col) % bench_mod == 0).select("h").distinct()
+    )
+    hits = (
+        grams.where(F.col(id_col) % bench_mod != 0)
+        .join(F.broadcast(bench), on="h", how="left_semi")
+        .select(id_col, "pos")
+    )
+    return merge_window_hits(hits, window, id_col=id_col)
+
+
 class BloomBitmap(NamedTuple):
     """Packed Bloom filter artifact: ``n_bits/8`` bytes of packbits plus
     the hash-family parameters that produced it.  Carrying ``n_bits`` /

@@ -7,12 +7,16 @@ batches, never single rows.
 
 Decoding routes by container magic bytes: genuine PNG and BMP payloads go
 through REAL pure-Python decoders (``decode_png`` / ``decode_bmp`` —
-chunk walk, zlib inflate, scanline unfilter; no native deps), everything
-else falls back to a deterministic hash-derived stub (``_fake_decode``)
-so the pipeline stays runnable in containers without codec libraries and
+chunk walk, zlib inflate, scanline unfilter; no native deps), JPEG —
+the dominant crawl image format — through a REAL segment walk
+(``parse_jpeg``: SOF0/SOF2 frame header, JFIF detection, per-scan
+entropy skipping; header-only, no Huffman/DCT), and everything else
+falls back to a deterministic hash-derived stub (``_fake_decode``) so
+the pipeline stays runnable in containers without codec libraries and
 so corrupt/unknown payloads degrade instead of failing the job.  Exotic
-image formats (JPEG, GIF, WebP) decode through ``_real_decode`` when PIL
-is installed; audio/video metadata still needs ffmpeg and uses the stub.
+image formats (GIF, WebP) and JPEG pixels decode through ``_real_decode``
+when PIL is installed; audio/video metadata still needs ffmpeg and uses
+the stub.
 
 At 100 TB: binaries dominate row size, so operators repartition by byte
 budget (``target_partition_bytes``), select only the binary + key columns
@@ -276,6 +280,239 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytearray, int]:
     return width, height, out, channels
 
 
+JPEG_SOI = b"\xff\xd8"
+
+# Frame-header (SOFn) markers: C0-CF minus DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+JPEG_META_SCHEMA = (
+    "media_id long, n_bytes long, width int, height int, "
+    "n_components int, precision int, progressive boolean, "
+    "has_jfif boolean, n_scans int, n_entropy_bytes long"
+)
+
+
+def _jpeg_skip_entropy(data: bytes, pos: int) -> tuple[int, int | None]:
+    """Scan entropy-coded bytes from ``pos`` to the next segment marker.
+    Byte-stuffed 0xFF00 and restart markers (FFD0-FFD7) belong to the
+    scan; returns ``(end_pos, marker)`` with ``end_pos`` at the marker's
+    0xFF, or ``(len(data), None)`` when the payload is cut mid-scan
+    (crawl payloads routinely are)."""
+    while pos < len(data):
+        i = data.find(b"\xff", pos)
+        if i < 0 or i + 1 >= len(data):
+            return len(data), None
+        m = data[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = i + 2
+        elif m == 0xFF:  # fill byte run
+            pos = i + 1
+        else:
+            return i, m
+    return len(data), None
+
+
+def parse_jpeg(data: bytes) -> dict[str, Any] | None:
+    """Segment-walking JPEG metadata parse (no codec): SOI, marker
+    segments with big-endian lengths, the SOF0/SOF2 frame header
+    (precision, dimensions, component count, baseline-vs-progressive),
+    JFIF APP0 detection, per-scan entropy skipping with 0xFF00
+    byte-stuffing and restart markers honored.  Header-only — dims over a
+    100 TB archive must be O(segments), never O(pixels); no allocation is
+    derived from the untrusted dims.
+
+    Mid-stream degradation mirrors :func:`audio.parse_mp3`: once a frame
+    header AND at least one scan have been parsed, any structural defect
+    (lost marker alignment, truncated segment, missing EOI) ends the walk
+    and returns what was parsed, with ``n_entropy_bytes`` counting only
+    the entropy bytes actually seen.  The same defect earlier returns
+    ``None`` and the caller degrades per-record."""
+    if len(data) < 4 or data[:2] != JPEG_SOI:
+        return None
+    pos = 2
+    width = height = ncomp = precision = None
+    progressive: bool | None = None
+    has_jfif = False
+    n_scans = 0
+    entropy_bytes = 0
+
+    def result() -> dict[str, Any] | None:
+        if width is None or n_scans == 0:
+            return None
+        return {
+            "width": width,
+            "height": height,
+            "n_components": ncomp,
+            "precision": precision,
+            "progressive": progressive,
+            "has_jfif": has_jfif,
+            "n_scans": n_scans,
+            "n_entropy_bytes": entropy_bytes,
+        }
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            return result()  # lost marker alignment
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        if pos + 2 > len(data):
+            return result()
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            return result()  # truncated segment
+        body = data[pos + 2 : pos + seglen]
+        if marker in _JPEG_SOF_MARKERS:
+            if len(body) < 6:
+                return result()
+            precision = body[0]
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if (
+                width == 0
+                or height == 0
+                or not 1 <= ncomp <= 4
+                or len(body) < 6 + 3 * ncomp
+            ):
+                width = None
+                return None  # malformed frame header: whole record degrades
+            progressive = marker == 0xC2
+        elif marker == 0xE0 and body[:5] == b"JFIF\x00":
+            has_jfif = True
+        pos += seglen
+        if marker == 0xDA:  # SOS — entropy-coded scan follows
+            if width is None:
+                return None  # scan before any frame header
+            n_scans += 1
+            end, _nxt = _jpeg_skip_entropy(data, pos)
+            entropy_bytes += end - pos
+            pos = end
+    return result()
+
+
+def build_jpeg(
+    body: bytes,
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    jfif: bool = True,
+) -> bytes:
+    """Spec-correct JPEG byte stream for the synthesis/round-trip path:
+    SOI, optional JFIF APP0, one DQT (exercises unknown-segment
+    skipping), an SOF0 (baseline) or SOF2 (progressive) frame header with
+    real big-endian dims, then one scan (two for progressive — each with
+    its own SOS header), entropy bytes byte-stuffed (0xFF -> 0xFF00) per
+    spec, and EOI.  The entropy bytes are the caller's ``body`` verbatim
+    — not a valid Huffman stream, but every structure a header walk
+    touches is genuine."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dims {width}x{height} outside JPEG 16-bit fields")
+    if not 1 <= n_components <= 4:
+        raise ValueError(f"n_components {n_components} outside 1-4")
+    out = bytearray(JPEG_SOI)
+    if jfif:
+        app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytes([0]) + bytes([16]) * 64
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([n_components])
+    for c in range(n_components):
+        sof += bytes([c + 1, 0x11, 0])
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
+    chunks = (
+        [body[: len(body) // 2], body[len(body) // 2 :]]
+        if progressive
+        else [body]
+    )
+    for chunk in chunks:
+        sos = bytes([n_components])
+        for c in range(n_components):
+            sos += bytes([c + 1, 0])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += chunk.replace(b"\xff", b"\xff\x00")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def text_as_jpeg(payload: bytes) -> bytes:
+    """Deterministic JPEG synthesis from an opaque payload (the image
+    sibling of ``audio.text_as_wav``): frame parameters come from md5
+    bytes of the payload, the payload bytes stand in for the entropy-coded
+    scan data — so a SQL oracle recomputes every metadata field from
+    md5/length alone (utf-8 text contains no 0xFF, so byte-stuffing adds
+    nothing) while the engine-side bytes round-trip through the real
+    segment walk."""
+    d = hashlib.md5(payload).digest()
+    return build_jpeg(
+        payload,
+        width=16 + d[0] * 4,
+        height=16 + d[1] * 4,
+        n_components=3 if d[2] % 2 == 0 else 1,
+        progressive=d[3] % 2 == 0,
+        jfif=d[4] % 2 == 0,
+    )
+
+
+def jpeg_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    synthesize: bool = False,
+) -> DataFrame:
+    """Per-record JPEG frame-header extraction over a binary payload
+    column (same Arrow-batched, shuffle-free shape as the audio family).
+    Corrupt/non-JPEG/NULL records yield null metadata fields, never a
+    stage failure."""
+
+    meta_keys = (
+        "width",
+        "height",
+        "n_components",
+        "precision",
+        "progressive",
+        "has_jfif",
+        "n_scans",
+        "n_entropy_bytes",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    meta, jpg = None, None
+                else:
+                    raw = bytes(p)
+                    jpg = text_as_jpeg(raw) if synthesize else raw
+                    meta = parse_jpeg(jpg)
+                row: dict[str, Any] = {
+                    "media_id": mid,
+                    "n_bytes": len(jpg) if jpg is not None else None,
+                }
+                for k in meta_keys:
+                    row[k] = meta[k] if meta is not None else None
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    pruned = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    )
+    return pruned.mapInPandas(batches, schema=JPEG_META_SCHEMA)
+
+
 def _image_features(payload: bytes, width: int, height: int) -> dict[str, Any]:
     return {
         "n_bytes": len(payload),
@@ -288,13 +525,17 @@ def _image_features(payload: bytes, width: int, height: int) -> dict[str, Any]:
 
 
 def image_header_dims(payload: bytes) -> tuple[int, int] | None:
-    """Header-only dims of a PNG/BMP payload, ``None`` for anything that
-    is not a supported image container.  Validates the SAME support
-    envelope as the full decoders (bit depth 8, known color type,
-    non-interlaced; uncompressed 24/32-bpp BMP whose claimed pixel data
-    fits the payload) so "has dims" and "is decodable" stay one notion —
-    but does NOT inflate or unfilter pixels, because metadata extraction
-    over a 100 TB archive must be O(header), not O(pixels)."""
+    """Header-only dims of a PNG/BMP/JPEG payload, ``None`` for anything
+    that is not a supported image container.  For PNG/BMP it validates
+    the SAME support envelope as the full decoders (bit depth 8, known
+    color type, non-interlaced; uncompressed 24/32-bpp BMP whose claimed
+    pixel data fits the payload) so "has dims" and "is decodable" stay
+    one notion; JPEG is header-only by design (the engine ships no
+    Huffman/DCT decoder — dims, components and the progressive flag come
+    from the real SOF0/SOF2 segment walk, and pixel consumers degrade to
+    geometry-with-null-digest).  Never inflates or unfilters pixels:
+    metadata extraction over a 100 TB archive must be O(header), not
+    O(pixels)."""
     try:
         if payload[:8] == PNG_MAGIC:
             w, h, _ch = _parse_png_ihdr(payload)
@@ -302,6 +543,10 @@ def image_header_dims(payload: bytes) -> tuple[int, int] | None:
         if payload[:2] == b"BM" and len(payload) > 34:
             _off, w, h, _ch, _td, _rp = _parse_bmp_header(payload)
             return w, h
+        if payload[:2] == JPEG_SOI:
+            meta = parse_jpeg(payload)
+            if meta is not None:
+                return meta["width"], meta["height"]
     except DECODE_ERRORS:
         pass
     return None
@@ -325,8 +570,8 @@ def try_decode_image(
 
 
 def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
-    """Magic-byte-routed metadata decode: real PNG/BMP header parsing when
-    the payload is a genuine image container, the deterministic hash stub
+    """Magic-byte-routed metadata decode: real PNG/BMP/JPEG header parsing
+    when the payload is a genuine image container, the deterministic hash stub
     otherwise (unknown formats AND corrupt image bytes — a 100 TB scan
     must degrade per-record, never fail the stage on one bad file).
     Feature extraction reads ONLY the header — the per-pixel unfilter

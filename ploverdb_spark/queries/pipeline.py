@@ -1404,6 +1404,67 @@ def c10_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c12_token_window_decontamination",
+    oracle=f"""
+    WITH docs AS ({_DOUBLED}),
+    tk AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM docs
+    ), win AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 13 + 2)) AS pos, toks
+      FROM tk WHERE len(toks) >= 13
+    ), g AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:(pos + 12)], ' ')) AS h
+      FROM win
+    ), bench AS (
+      SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT doc_id, pos FROM g
+      WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= 13 THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marked
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 12 AS span_end,
+           MAX(pos) + 13 - MIN(pos) AS span_len,
+           COUNT(*) AS n_windows
+    FROM grp GROUP BY doc_id, gid
+    """,
+    doc="Token-window exact-substring decontamination (VERDICT r10 item "
+    "#5): the standard 'any N-consecutive-token overlap with a "
+    "benchmark' check as a stride-1 sliding window (N=13 here; 50 in "
+    "published pipelines), NOT set membership — c2/c8 flag docs sharing "
+    "any small n-gram, this one finds the exact overlapping token SPANS "
+    "(gaps-and-islands merge of matched window positions) so the "
+    "remediation can excise the span instead of dropping the document.  "
+    "Scale shape: benchmark windows broadcast (eval suites are tiny), "
+    "corpus windows stream through one explode + broadcast semi join, "
+    "and the only shuffles are the sparse hit-merge window and the "
+    "span aggregation.",
+)
+def c12_token_window_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _doubled_docs(spark, sf_dir)
+    spans = D.token_window_decontaminate(docs, window=13)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("n_windows").alias("n_windows"),
+    )
+
+
+@register(
     "c11_doc_chunking",
     oracle=f"""
     WITH tk AS (

@@ -649,3 +649,157 @@ def test_mp3_midstream_degrades_to_partial():
     m = parse_mp3(with_id3 + b"\x00junk")
     assert m["n_frames"] == n_good and m["has_id3"]
     assert m["n_audio_bytes"] == len(with_id3) - 74
+
+
+def test_jpeg_container_roundtrip():
+    """build_jpeg emits a spec-correct segment stream that parse_jpeg
+    walks back exactly; the synthesis path's md5-derived parameters match
+    the m7 oracle's formulas (queries/media.py)."""
+    import hashlib
+
+    from ploverdb_spark.operators.multimodal import (
+        build_jpeg,
+        parse_jpeg,
+        text_as_jpeg,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog" * 9
+    d = hashlib.md5(payload).digest()
+    jpg = text_as_jpeg(payload)
+    meta = parse_jpeg(jpg)
+    assert meta is not None
+    assert meta["width"] == 16 + d[0] * 4
+    assert meta["height"] == 16 + d[1] * 4
+    ncomp = 3 if d[2] % 2 == 0 else 1
+    progressive = d[3] % 2 == 0
+    jfif = d[4] % 2 == 0
+    assert meta["n_components"] == ncomp
+    assert meta["precision"] == 8
+    assert meta["progressive"] is progressive
+    assert meta["has_jfif"] is jfif
+    n_scans = 2 if progressive else 1
+    assert meta["n_scans"] == n_scans
+    assert meta["n_entropy_bytes"] == len(payload)
+    # the oracle's n_bytes formula, byte-for-byte
+    assert len(jpg) == (
+        2 + (18 if jfif else 0) + 69 + (10 + 3 * ncomp)
+        + n_scans * (8 + 2 * ncomp) + len(payload) + 2
+    )
+
+    # all four flag combinations parse back to what was built
+    for prog in (False, True):
+        for jf in (False, True):
+            for nc in (1, 3, 4):
+                j = build_jpeg(
+                    b"x" * 301, 640, 480, nc, progressive=prog, jfif=jf
+                )
+                m = parse_jpeg(j)
+                assert (m["width"], m["height"]) == (640, 480)
+                assert m["n_components"] == nc
+                assert m["progressive"] is prog
+                assert m["has_jfif"] is jf
+                assert m["n_scans"] == (2 if prog else 1)
+                assert m["n_entropy_bytes"] == 301
+
+    # 0xFF bytes in the entropy data are byte-stuffed per spec: the walk
+    # must treat FF00 as data, count the stuffed length, and still find
+    # the real EOI
+    binary = bytes(range(256)) * 3  # contains 0xFF
+    j = build_jpeg(binary, 10, 10, 1, progressive=False, jfif=False)
+    m = parse_jpeg(j)
+    assert m is not None and m["width"] == 10
+    assert m["n_entropy_bytes"] == len(binary) + binary.count(0xFF)
+
+
+def test_jpeg_corrupt_payloads_degrade():
+    """parse_jpeg returns None (never raises) for anything that is not a
+    walkable JPEG — the Spark caller degrades per-record."""
+    from ploverdb_spark.operators.multimodal import build_jpeg, parse_jpeg
+
+    good = build_jpeg(b"entropy" * 50, 320, 240, 3)
+    assert parse_jpeg(good) is not None
+
+    assert parse_jpeg(b"") is None
+    assert parse_jpeg(b"\xff\xd8") is None  # SOI alone, no frame header
+    assert parse_jpeg(b"not a jpeg at all") is None
+    assert parse_jpeg(b"\x89PNG\r\n\x1a\n rest") is None
+    # truncated inside the SOF segment (before any scan): whole record
+    assert parse_jpeg(good[:12]) is None
+    # zero dims / bad component count in the frame header
+    bad_dims = build_jpeg(b"e" * 10, 1, 1, 1)
+    b = bytearray(bad_dims)
+    sof = bad_dims.find(b"\xff\xc0")
+    b[sof + 5 : sof + 7] = b"\x00\x00"  # height := 0
+    assert parse_jpeg(bytes(b)) is None
+    b = bytearray(bad_dims)
+    b[sof + 9] = 5  # n_components := 5 (outside 1-4)
+    assert parse_jpeg(bytes(b)) is None
+    # a scan (SOS) appearing before any SOF frame header
+    no_sof = (
+        b"\xff\xd8" + b"\xff\xda\x00\x06\x01\x01\x00\x00" + b"data\xff\xd9"
+    )
+    assert parse_jpeg(no_sof) is None
+
+
+def test_jpeg_midstream_degrades_to_partial():
+    """Truncation tolerance mirrors parse_mp3: a payload cut mid-scan
+    (after the frame header and >=1 SOS) returns the metadata parsed so
+    far with n_entropy_bytes counting only what was seen."""
+    from ploverdb_spark.operators.multimodal import build_jpeg, parse_jpeg
+
+    good = build_jpeg(b"entropy-data" * 40, 800, 600, 3, jfif=True)
+    whole = parse_jpeg(good)
+    # cut mid-entropy: dims survive, entropy bytes shrink, EOI missing
+    cut = parse_jpeg(good[:-100])
+    assert cut is not None
+    assert (cut["width"], cut["height"]) == (800, 600)
+    assert cut["n_scans"] == 1
+    assert cut["n_entropy_bytes"] == whole["n_entropy_bytes"] - 98
+    # progressive cut after the first scan's data keeps scan 1 only
+    prog = build_jpeg(b"entropy-data" * 40, 800, 600, 3, progressive=True)
+    first_scan_end = prog.find(b"\xff\xda", prog.find(b"\xff\xda") + 2)
+    p = parse_jpeg(prog[:first_scan_end])
+    assert p is not None and p["n_scans"] == 1 and p["progressive"] is True
+
+
+def test_jpeg_metadata_degrade_through_spark(spark):
+    """m7's Spark seam: NULL payloads and (synthesize=False) garbage both
+    degrade to null metadata rows, real payloads parse."""
+    from ploverdb_spark.operators.multimodal import jpeg_metadata, text_as_jpeg
+
+    rows_in = [
+        (1, text_as_jpeg(b"real image payload")),
+        (2, b"garbage bytes, no SOI"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r.media_id: r for r in jpeg_metadata(media).collect()}
+    assert out[1].width is not None and out[1].n_scans >= 1
+    for mid in (2, 3):
+        assert out[mid].width is None and out[mid].n_entropy_bytes is None
+    assert out[3].n_bytes is None and out[2].n_bytes == len(rows_in[1][1])
+
+
+def test_jpeg_header_dims_route_into_image_family():
+    """image_header_dims / decode_media / resize_media treat a genuine
+    JPEG like PNG/BMP: real header dims (no PIL), geometry-only resize
+    with a null thumb digest (no pixel decoder), stub only for corrupt
+    bytes."""
+    from ploverdb_spark.operators.multimodal import (
+        _fake_decode,
+        build_jpeg,
+        decode_media,
+        fit_within,
+        image_header_dims,
+    )
+
+    jpg = build_jpeg(b"scan" * 100, 1920, 1080, 3)
+    assert image_header_dims(jpg) == (1920, 1080)
+    feats = decode_media(jpg, "image")
+    assert (feats["width"], feats["height"]) == (1920, 1080)
+    assert feats["n_frames"] == 1 and feats["duration_ms"] == 0
+    assert fit_within(1920, 1080, 64) == (64, 36)
+    # corrupt JPEG (SOI intact, truncated before the frame header)
+    corrupt = jpg[:8]
+    assert image_header_dims(corrupt) is None
+    assert decode_media(corrupt, "image") == _fake_decode(corrupt, "image")

@@ -629,6 +629,48 @@ def test_c10_lsh_decontamination_broadcasts_bench_and_flags_exact_dups(spark):
     assert not missing, f"LSH missed exact cross-split duplicates: {missing}"
 
 
+def test_c12_token_window_spans_planted_overlap(spark):
+    """Planted-overlap invariant for the token-window exact-substring
+    check: a corpus doc carrying an exact 13+-token benchmark substring
+    mid-document must yield exactly the planted span (start/end token
+    positions), a doc sharing only a 12-token run must NOT be flagged,
+    and two disjoint planted runs must merge into two spans, not one."""
+    from ploverdb_spark.operators.dedup import token_window_decontaminate
+
+    bench_tokens = [f"b{i}" for i in range(20)]  # doc_id 0 -> benchmark
+    bench_text = " ".join(bench_tokens)
+    # corpus doc 1: 5 clean tokens, then bench tokens 0..12 (13 tokens,
+    # one matching window at its own position 6), then clean tail
+    doc1 = " ".join(
+        [f"c{i}" for i in range(5)] + bench_tokens[:13] + ["tail1", "tail2"]
+    )
+    # corpus doc 2: only a 12-token bench run — below the window, clean
+    doc2 = " ".join([f"d{i}" for i in range(5)] + bench_tokens[:12])
+    # corpus doc 3: two disjoint 13-token bench runs separated by a
+    # 20-token clean gap -> two spans
+    doc3 = " ".join(
+        bench_tokens[:13]
+        + [f"gap{i}" for i in range(20)]
+        + bench_tokens[:13]
+    )
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, doc1), (2, doc2), (3, doc3)],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in token_window_decontaminate(docs, window=13).collect()
+    }
+    assert (1, 6, 18) in spans and spans[(1, 6, 18)] == 1
+    assert not any(k[0] == 2 for k in spans), "12-token run must not flag"
+    doc3_spans = sorted(k[1:] for k in spans if k[0] == 3)
+    assert doc3_spans == [(1, 13), (34, 46)]
+    # the full 20-token bench doc inside doc3? no — only 13-token runs
+    # planted; the whole-bench windows (8 of them, positions 1..8 in the
+    # bench doc) only match where all 13 tokens line up
+    assert len(spans) == 3
+
+
 def test_worker_imports_shipped_once_per_session(spark):
     """catalog.load must ship the package source zip to executors
     (``sc.addPyFile``) so pandas-UDF queries survive a driver launched
