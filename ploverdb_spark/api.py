@@ -137,6 +137,7 @@ class KpRegistry:
         max_workers: int | None = DEFAULT_MAX_WORKERS,
         backlog: int = DEFAULT_BACKLOG,
         queue_wait_sec: float = 300.0,
+        client_window_sec: float | None = None,
     ) -> None:
         self._engines: dict[str, TrapiEngine] = {}
         self._logs: dict[str, deque] = {}
@@ -153,11 +154,60 @@ class KpRegistry:
         self.rebuild_token = rebuild_token
         self.backlog = backlog
         self.queue_wait_sec = queue_wait_sec
+        # Doomed-request shedding: when set, a request whose ESTIMATED
+        # completion (queue depth x a moving per-request latency) already
+        # exceeds the client's timeout window is 503'd immediately instead
+        # of burning a worker slot to produce a 504 the client will never
+        # read.  The reference bar explicitly allows 503 backpressure and
+        # never 504 (test_burst_backpressure.py:26-28); under a degraded
+        # host the engine previously timed out instead of shedding.
+        self.client_window_sec = client_window_sec
+        self._max_workers = max_workers
+        self._lat_lock = threading.Lock()
+        self._lat_ewma: float | None = None
+        self._n_inflight = 0
         self._worker_slots = (
             threading.Semaphore(max_workers) if max_workers else None
         )
         self._queue_lock = threading.Lock()
         self._n_queued = 0
+
+    def _note_latency(self, sec: float) -> None:
+        """Fold one completed Spark-heavy request into the moving
+        estimate (EWMA, alpha 0.3: reactive to a degrading host within a
+        few requests, stable against one outlier)."""
+        with self._lat_lock:
+            self._lat_ewma = (
+                sec
+                if self._lat_ewma is None
+                else 0.7 * self._lat_ewma + 0.3 * sec
+            )
+
+    def _shed_if_doomed(self) -> None:
+        """503 a request that cannot finish inside the client window.
+
+        Estimate: with ``ahead = inflight + queued`` requests holding or
+        waiting for the ``max_workers`` pool and a moving per-request
+        latency L, a new arrival completes in roughly
+        ``L * (ahead / max_workers + 1)`` (its queue wait plus its own
+        run).  Past the window, admitting it only converts a fast honest
+        503 into a slow 504 — the one status the SLO forbids.  No
+        estimate yet (cold process) admits: shedding needs evidence."""
+        if self.client_window_sec is None or self._worker_slots is None:
+            return
+        with self._lat_lock:
+            ewma, inflight = self._lat_ewma, self._n_inflight
+        if ewma is None:
+            return
+        ahead = inflight + self._n_queued
+        est = ewma * (ahead / self._max_workers + 1.0)
+        if est > self.client_window_sec:
+            raise QueryError(
+                503,
+                "Server busy: estimated completion "
+                f"{est:.0f}s exceeds the {self.client_window_sec:.0f}s "
+                "client window — retry later.",
+            )
 
     @contextlib.contextmanager
     def admission(self):
@@ -166,6 +216,7 @@ class KpRegistry:
         if self._worker_slots is None:
             yield
             return
+        self._shed_if_doomed()
         acquired = self._worker_slots.acquire(blocking=False)
         if not acquired:
             # all workers busy: join the bounded backlog (or 503)
@@ -189,10 +240,18 @@ class KpRegistry:
                     "Server busy: no worker became available within "
                     f"{self.queue_wait_sec:.0f}s — retry later.",
                 )
+        import time as _time
+
+        t0 = _time.monotonic()
+        with self._lat_lock:
+            self._n_inflight += 1
         try:
             yield
         finally:
+            with self._lat_lock:
+                self._n_inflight -= 1
             self._worker_slots.release()
+            self._note_latency(_time.monotonic() - t0)
 
     def register(self, name: str, engine: TrapiEngine) -> None:
         self._engines[name] = engine

@@ -681,8 +681,16 @@ def main() -> None:
     # 8 active workers = the reference's UWSGI_CHEAPER resting pool
     # (README.md:505-511): on a single shared executor, fewer concurrent
     # queries each finish faster, and the backlog (not the harakiri
-    # window) absorbs the burst.
-    registry = KpRegistry(query_timeout_sec=HARAKIRI_SEC, max_workers=8)
+    # window) absorbs the burst.  client_window_sec=60 (the burst SLO's
+    # client timeout): a request whose estimated completion exceeds it is
+    # shed with an immediate 503 — explicitly allowed by the reference
+    # bar — instead of queueing toward a 504.
+    client_window = float(os.environ.get("SCALEBENCH_CLIENT_WINDOW_SEC", "60"))
+    registry = KpRegistry(
+        query_timeout_sec=HARAKIRI_SEC,
+        max_workers=8,
+        client_window_sec=client_window or None,
+    )
     registry.register("scalebench", engine)
     from ploverdb_spark.api import handle
 

@@ -388,6 +388,51 @@ def test_admission_control_backpressure(registry):
     assert statuses == [200]
 
 
+def test_admission_sheds_doomed_requests_503_not_504(registry):
+    """Latency-aware shedding (reference SLO: 503 backpressure allowed,
+    504 never): when the moving per-request latency estimate says a new
+    arrival cannot finish inside the client window — a synthetic stall:
+    every slot held, recent requests slow — the request is 503'd
+    IMMEDIATELY, not queued toward a 504.  Without an estimate (cold
+    process) or with a healthy estimate, admission proceeds."""
+    import time
+
+    from ploverdb_spark.api import KpRegistry
+
+    reg = KpRegistry(
+        max_workers=2,
+        backlog=8,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=10.0,
+    )
+    reg.register("graft", registry.engine("graft"))
+
+    # cold process: no latency evidence yet -> admit normally
+    status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+    assert status == 200
+
+    # synthetic stall: recent requests took ~6s each (EWMA-primed), and
+    # both worker slots are held.  ahead=2, est = 6*(2/2+1) = 12s > 10s
+    # window -> immediate 503, measured in milliseconds, not a 45s 504.
+    for _ in range(6):
+        reg._note_latency(6.0)
+    with reg.admission(), reg.admission():
+        t0 = time.monotonic()
+        status, body = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+        elapsed = time.monotonic() - t0
+    assert status == 503, body
+    assert "client window" in body["error"]
+    assert elapsed < 2.0, f"doomed request waited {elapsed:.1f}s before 503"
+
+    # slots free again and the healthy requests just measured pull the
+    # EWMA back down -> admitted (est = ewma*(0/2+1) well under 10s)
+    for _ in range(8):
+        reg._note_latency(0.2)
+    status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+    assert status == 200
+
+
 def test_debug_last_endpoint(registry):
     """GET /debug/last (reference main.py:554-568, mirrored from
     test_non_query_commands.py): cached snapshot + captured_at + note,
