@@ -60,7 +60,9 @@ class KnowledgeGraph:
     # turns it on.
     pruned_id_scans: bool = False
 
-    def persist(self, materialize: bool = True) -> KnowledgeGraph:
+    def persist(
+        self, materialize: bool = True, parallel: bool = False
+    ) -> KnowledgeGraph:
         """Cache the hot serving tables (analog of the reference's
         fully-in-memory serving stance, README.md:213).
 
@@ -72,6 +74,14 @@ class KnowledgeGraph:
         lays the tables out on their join keys; ``persist`` only marks +
         materializes, it never re-assigns (re-assignment would strand the
         derived plans' references to the pre-swap objects).
+
+        ``parallel=True`` materializes the tables concurrently (each
+        count in its own FAIR pool) — ONLY correct when the tables are
+        independent scans, i.e. a KG loaded from artifacts
+        (``read_artifacts_bucketed``), where no table derives from
+        another; the small tables then cache inside the big table's
+        wall-clock instead of after it.  Post-build KGs must keep the
+        sequential dependency order.
         """
         ordered = (
             self.nodes,
@@ -82,7 +92,22 @@ class KnowledgeGraph:
         )
         for df in ordered:
             df.persist()  # no-op if already marked by the build
-        if materialize:
+        if materialize and parallel:
+            from concurrent.futures import ThreadPoolExecutor
+
+            sc = self.nodes.sparkSession.sparkContext
+
+            def mat(idx_df) -> None:
+                i, df = idx_df
+                sc.setLocalProperty("spark.scheduler.pool", f"persist-{i}")
+                try:
+                    df.count()
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
+            with ThreadPoolExecutor(max_workers=len(ordered)) as pool:
+                list(pool.map(mat, enumerate(ordered)))
+        elif materialize:
             for df in ordered:
                 df.count()
         return self

@@ -187,13 +187,18 @@ _EMIT_LAST = (
     # queries/media.py m7; catalog.py changed only in the rotation tuples
     # and comments, which cannot alter any entry's output): every tail
     # entry registers in queries/graph.py, queries/relational.py,
-    # queries/semantics.py or queries/windows.py, whose transitive
-    # chains (compiler.py, ingest.py, kgx.py, closure.py, meta_kg.py,
-    # localdf.py, constraints.py, biolink_*, common.py, text via none)
-    # contain NO round-11-changed module at all — graph.py's j11/j2
-    # lookups run compiler.py (untouched) and re-express the /edges and
-    # /neighbors join shapes directly rather than through the changed
-    # response.py, and session.py is not imported by any catalog entry.
+    # queries/semantics.py or queries/windows.py — graph.py's j11/j2
+    # lookups re-express the /edges and /neighbors join shapes directly
+    # rather than through the changed response.py, and session.py is not
+    # imported by any catalog entry.  Two chain modules DID change in
+    # round 11's serving warm-up work and are consciously re-pinned:
+    # query/compiler.py (the shared _maps_lock split into four
+    # per-structure locks — the same no-redundant-build guard per map —
+    # and warmup() gained an opt-in parallel=True; every catalog entry
+    # runs the sequential default) and build/ingest.py (persist() gained
+    # an opt-in parallel=True materialization; catalog entries call
+    # persist() with defaults).  Neither touches any expression that
+    # reaches a result row.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.
