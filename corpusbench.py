@@ -302,6 +302,65 @@ def run(n_docs: int, label: str) -> dict:
     if on("c8"):
         meter.measure("c8_bloom_decontamination", c8)
 
+    def c12():
+        """Token-window exact-substring decontamination at corpus scale,
+        with an EXACT planted-overlap invariant: the only 13-token
+        overlaps in the 50k-vocab word salad are within planted
+        near-dup cliques (cross-clique collision space ~50000^13), so
+        every corpus member of a clique containing a benchmark member
+        must be flagged with exactly one span starting at token 1 with
+        n_base - 12 matched windows (n_base = the clique seed's word
+        count; the mutated members' appended token can never match), and
+        nothing else may be flagged."""
+        spans = D.token_window_decontaminate(
+            docs, window=13, bench_mod=997, hash_family="xxhash64"
+        ).persist()
+        n_spans = spans.count()
+        flagged = spans.select("doc_id").distinct()
+        clique = docs.where(F.col("doc_id") % 13 < 3).select(
+            "doc_id",
+            (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(13))).alias("m"),
+        )
+        bench_m = (
+            clique.where(F.col("doc_id") % 997 == 0).select("m").distinct()
+        )
+        expected = clique.join(F.broadcast(bench_m), "m").where(
+            F.col("doc_id") % 997 != 0
+        )
+        n_expected = expected.count()
+        # both sides are distinct on doc_id, so after the union a doc
+        # appears twice iff it is in BOTH sets; count != 2 = the
+        # symmetric difference (over- or under-flagging)
+        sym_diff = (
+            flagged.unionByName(expected.select("doc_id"))
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") != 2)
+            .count()
+        )
+        n_base = (
+            120 + F.pmod(F.xxhash64(F.col("m"), F.lit(1)), F.lit(440))
+        ).cast("int")
+        bad_spans = (
+            spans.join(expected.select("doc_id", "m"), "doc_id")
+            .where(
+                (F.col("span_start") != 1)
+                | (F.col("n_windows") != n_base - 12)
+            )
+            .count()
+        )
+        out = {
+            "out_rows": n_spans,
+            "flagged_docs_expected": n_expected,
+            "flag_set_symmetric_diff": sym_diff,
+            "bad_span_geometry": bad_spans,
+        }
+        spans.unpersist()
+        return out
+
+    if on("c12"):
+        meter.measure("c12_token_window_decontamination", c12)
+
     def c7():
         feats = T.text_features(docs).select(
             "doc_id", "n_tokens", "quality_score"

@@ -787,15 +787,23 @@ def exploded_positional_grams(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    as_hash: bool = False,
 ) -> DataFrame:
-    """(id, pos, h) rows: the md5 of every k-token window of the document,
-    keyed by its 1-based start-token position — the position-AWARE sibling
-    of :func:`exploded_word_grams` (same explode-before-construction
-    whole-stage-codegen shape; same tokenization).  Documents shorter than
-    ``k`` tokens emit NO windows (a doc that cannot contain a k-token
-    overlap has nothing to check), unlike exploded_word_grams' whole-doc
-    fallback — set-membership consumers want a gram per doc, span
-    consumers want exactly the real windows."""
+    """(id, pos, h) rows: the hash of every k-token window of the
+    document, keyed by its 1-based start-token position — the
+    position-AWARE sibling of :func:`exploded_word_grams` (same
+    explode-before-construction whole-stage-codegen shape; same
+    tokenization).  Documents shorter than ``k`` tokens emit NO windows
+    (a doc that cannot contain a k-token overlap has nothing to check),
+    unlike exploded_word_grams' whole-doc fallback — set-membership
+    consumers want a gram per doc, span consumers want exactly the real
+    windows.
+
+    ``as_hash=True`` emits ``xxhash64`` longs folded straight off the k
+    token columns (no window string is ever built) — the production
+    family at corpus scale, where a 13-token md5 string per window would
+    dominate the scan; md5 (default) is the family the DuckDB oracle can
+    replay."""
     toks = df.select(
         F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("__t")
     )
@@ -806,9 +814,8 @@ def exploded_positional_grams(
         F.explode(F.sequence(F.lit(1), n - k + 1)).alias("pos"),
     )
     win = [F.get(F.col("__t"), F.col("pos") - 1 + j) for j in range(k)]
-    return idx.select(
-        id_col, "pos", F.md5(F.concat_ws(" ", *win)).alias("h")
-    )
+    h = F.xxhash64(*win) if as_hash else F.md5(F.concat_ws(" ", *win))
+    return idx.select(id_col, "pos", h.alias("h"))
 
 
 def merge_window_hits(
@@ -853,6 +860,7 @@ def token_window_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_mod: int = 97,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Token-window exact-substring decontamination (the standard "any
     N-consecutive-token overlap with a benchmark" check; N=50 in most
@@ -869,9 +877,15 @@ def token_window_decontaminate(
     same broadcast-the-benchmark scale shape (eval suites are tiny; the
     corpus side streams through one explode + broadcast semi join), plus
     one sparse per-doc window merge.  Docs with doc_id %% ``bench_mod``
-    == 0 stand in for the benchmark suite."""
+    == 0 stand in for the benchmark suite.  ``hash_family="xxhash64"``
+    skips window-string construction entirely (corpusbench's production
+    configuration); md5 keeps DuckDB-oracle replayability."""
     grams = exploded_positional_grams(
-        docs, text_col=text_col, id_col=id_col, k=window
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        k=window,
+        as_hash=hash_family == "xxhash64",
     )
     bench = (
         grams.where(F.col(id_col) % bench_mod == 0).select("h").distinct()

@@ -665,6 +665,15 @@ def test_c12_token_window_spans_planted_overlap(spark):
     assert not any(k[0] == 2 for k in spans), "12-token run must not flag"
     doc3_spans = sorted(k[1:] for k in spans if k[0] == 3)
     assert doc3_spans == [(1, 13), (34, 46)]
+    # the xxhash64 family (corpus-scale: no window strings) must find
+    # byte-identical spans — only the hash changes, never the semantics
+    fast = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in token_window_decontaminate(
+            docs, window=13, hash_family="xxhash64"
+        ).collect()
+    }
+    assert fast == spans
     # the full 20-token bench doc inside doc3? no — only 13-token runs
     # planted; the whole-bench windows (8 of them, positions 1..8 in the
     # bench doc) only match where all 13 tokens line up
