@@ -192,7 +192,18 @@ class KpRegistry:
         ``L * (ahead / max_workers + 1)`` (its queue wait plus its own
         run).  Past the window, admitting it only converts a fast honest
         503 into a slow 504 — the one status the SLO forbids.  No
-        estimate yet (cold process) admits: shedding needs evidence."""
+        estimate yet (cold process) admits: shedding needs evidence.
+
+        Saturation guard (``ahead >= 2 * max_workers``): the EWMA only
+        learns from COMPLETIONS, so after a contended burst it reads
+        high, and a mass arrival would be shed wholesale on stale
+        evidence before a single new completion can correct it
+        (observed: a recovered host's burst shed 89/100 while the 11
+        admitted finished in milliseconds).  Admitting until the pool is
+        genuinely backed up costs at most ~2 pool-depths of work — on a
+        fast host those completions pull the EWMA down within one pool
+        drain and nothing more is shed; on a degraded host they confirm
+        the estimate and the tail sheds as intended."""
         if self.client_window_sec is None or self._worker_slots is None:
             return
         with self._lat_lock:
@@ -200,6 +211,8 @@ class KpRegistry:
         if ewma is None:
             return
         ahead = inflight + self._n_queued
+        if ahead < 2 * self._max_workers:
+            return
         est = ewma * (ahead / self._max_workers + 1.0)
         if est > self.client_window_sec:
             raise QueryError(

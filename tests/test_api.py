@@ -395,12 +395,13 @@ def test_admission_sheds_doomed_requests_503_not_504(registry):
     every slot held, recent requests slow — the request is 503'd
     IMMEDIATELY, not queued toward a 504.  Without an estimate (cold
     process) or with a healthy estimate, admission proceeds."""
+    import threading
     import time
 
     from ploverdb_spark.api import KpRegistry
 
     reg = KpRegistry(
-        max_workers=2,
+        max_workers=1,
         backlog=8,
         queue_wait_sec=30,
         query_timeout_sec=45,
@@ -412,21 +413,42 @@ def test_admission_sheds_doomed_requests_503_not_504(registry):
     status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
     assert status == 200
 
-    # synthetic stall: recent requests took ~6s each (EWMA-primed), and
-    # both worker slots are held.  ahead=2, est = 6*(2/2+1) = 12s > 10s
-    # window -> immediate 503, measured in milliseconds, not a 45s 504.
+    # synthetic stall: recent requests took ~6s each (EWMA-primed), the
+    # only worker slot is held AND one request already queues behind it
+    # (the saturation guard: shedding needs ahead >= 2*max_workers, so a
+    # mass arrival on stale evidence is not shed wholesale).  ahead=2,
+    # est = 6*(2/1+1) = 18s > 10s window -> immediate 503, measured in
+    # milliseconds, not a 45s 504.
     for _ in range(6):
         reg._note_latency(6.0)
-    with reg.admission(), reg.admission():
-        t0 = time.monotonic()
-        status, body = handle(reg, "neighbors", {"node_ids": ["N:0"]})
-        elapsed = time.monotonic() - t0
+    release = threading.Event()
+    queued_status = []
+
+    def hold_and_queue():
+        with reg.admission():  # grabs the freed slot once cm exits
+            release.wait(5)
+        queued_status.append("done")
+
+    cm = reg.admission()
+    cm.__enter__()  # worker slot held
+    t = threading.Thread(target=hold_and_queue, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 5
+    while reg._n_queued < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)  # wait until the thread is actually queued
+    assert reg._n_queued == 1
+    t0 = time.monotonic()
+    status, body = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+    elapsed = time.monotonic() - t0
     assert status == 503, body
     assert "client window" in body["error"]
     assert elapsed < 2.0, f"doomed request waited {elapsed:.1f}s before 503"
-
-    # slots free again and the healthy requests just measured pull the
-    # EWMA back down -> admitted (est = ewma*(0/2+1) well under 10s)
+    # below the saturation guard (ahead=1 after the queue drains) the
+    # same stale estimate does NOT shed — early arrivals re-teach the
+    # EWMA instead of being rejected on old evidence
+    cm.__exit__(None, None, None)
+    release.set()
+    t.join(timeout=10)
     for _ in range(8):
         reg._note_latency(0.2)
     status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
