@@ -63,6 +63,56 @@ PREDICATES = [
 SOURCES = [f"infores:src{i}" for i in range(5)]
 
 
+def abort_run(report: dict, load_gate: dict, reason: str) -> None:
+    """Shared health-abort path: print the report, append the aborted-run
+    block when this is a full-cycle serve child's FINAL attempt (earlier
+    attempts only print — the parent holds the build stats), and exit
+    rc=3 so the parent retries or reports the abort."""
+    report["aborted"] = reason
+    print(f"# ABORT: {reason} — host degraded, retry later", flush=True)
+    print(json.dumps(report), flush=True)
+    if os.environ.get("SCALEBENCH_BUILD_STATS") and os.environ.get(
+        "SCALEBENCH_FINAL_ATTEMPT"
+    ):
+        with open("SCALEBENCH.md", "a", encoding="utf-8") as f:
+            f.write(
+                f"\n## Aborted run record "
+                f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})"
+                f": {reason}\n\n"
+                f"Build completed before the serve-phase health abort: "
+                f"build {report.get('build_min')} min, peak RSS "
+                f"{report.get('jvm_peak_rss_gb_after_build')} GiB, artifacts "
+                f"{report.get('artifact_gb')} GB; gate={json.dumps(load_gate)}. "
+                f"No SLO numbers recorded (host degraded).\n"
+            )
+    raise SystemExit(3)
+
+
+def prewarm_artifacts(art_dir: str) -> dict:
+    """Sequentially read every artifact byte: measures the host's REAL
+    read throughput (the write-side gate probes are blind to a degraded
+    read path) and populates the page cache the warm-up scans are about
+    to hit.  Returns MB/s + wall."""
+    t0 = time.time()
+    n = 0
+    for dp, _, fs in os.walk(art_dir):
+        for fname in fs:
+            try:
+                with open(os.path.join(dp, fname), "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 22)
+                        if not chunk:
+                            break
+                        n += len(chunk)
+            except OSError:
+                continue
+    wall = time.time() - t0
+    return {
+        "artifact_prewarm_sec": round(wall, 1),
+        "artifact_read_mb_s": round(n / 1e6 / wall, 1) if wall > 0 else -1.0,
+    }
+
+
 def jvm_peak_rss_gb(spark) -> float | None:
     """Peak resident set (VmHWM) of the driver JVM, via /proc."""
     try:
@@ -710,12 +760,26 @@ def main() -> None:
         # pruning + OS page cache) for comparison
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
+        # Real read-path probe + page-cache prewarm: the gate's fsync
+        # probes only see the WRITE path; r11 full-cycle warm-ups read
+        # 186-383 s on windows whose write probes looked healthy, so
+        # measure the artifact read throughput directly (and the read
+        # doubles as a prewarm for the scans below).
+        report.update(prewarm_artifacts(art_dir))
+        print(
+            f"# artifact prewarm: {report['artifact_read_mb_s']} MB/s "
+            f"({report['artifact_prewarm_sec']}s)",
+            flush=True,
+        )
         kg.persist(materialize=False)  # mark first: warmup scans feed the cache
+        t_w = time.time()
         with _TPE(max_workers=2) as outer:
             fut_cache = outer.submit(kg.persist, True, True)
             fut_maps = outer.submit(engine.warmup, True)
             fut_cache.result()
+            report["cache_materialize_sec"] = round(time.time() - t_w, 1)
             fut_maps.result()
+            report["driver_maps_sec"] = round(time.time() - t_w, 1)
     else:
         engine.warmup(parallel=True)
     # 8 active workers = the reference's UWSGI_CHEAPER resting pool
@@ -796,15 +860,11 @@ def main() -> None:
         # measure the host.
         warm_bar = os.environ.get("SCALEBENCH_WARMUP_ABORT_SEC")
         if warm_bar and report["warmup_burst_sec"] > float(warm_bar):
-            report["aborted"] = (
-                f"warmup burst {report['warmup_burst_sec']}s > {warm_bar}s"
+            abort_run(
+                report,
+                load_gate,
+                f"warmup burst {report['warmup_burst_sec']}s > {warm_bar}s",
             )
-            print(
-                f"# ABORT: {report['aborted']} — concurrent path degraded",
-                flush=True,
-            )
-            print(json.dumps(report), flush=True)
-            raise SystemExit(3)
 
     # serial latency baseline (uncontended) before the burst
     lat = []
@@ -843,32 +903,11 @@ def main() -> None:
     # host, not the engine.
     canary_bar = os.environ.get("SCALEBENCH_CANARY_ABORT_SEC")
     if canary_bar and report["serial_one_hop_p50_sec"] > float(canary_bar):
-        report["aborted"] = (
-            f"canary {report['serial_one_hop_p50_sec']}s > {canary_bar}s"
+        abort_run(
+            report,
+            load_gate,
+            f"canary {report['serial_one_hop_p50_sec']}s > {canary_bar}s",
         )
-        print(f"# ABORT: {report['aborted']} — host degraded, retry later", flush=True)
-        print(json.dumps(report), flush=True)
-        # Full-cycle child: the parent's build record must survive the
-        # abort — append an explicit aborted-run block (build numbers +
-        # abort reason, no SLO lines), and exit NONZERO so the parent's
-        # SystemExit(rc) reports the abort instead of success.  With
-        # parent-side retries, only the FINAL attempt appends (earlier
-        # aborts are printed, and the parent still holds the stats).
-        if os.environ.get("SCALEBENCH_BUILD_STATS") and os.environ.get(
-            "SCALEBENCH_FINAL_ATTEMPT"
-        ):
-            with open("SCALEBENCH.md", "a", encoding="utf-8") as f:
-                f.write(
-                    f"\n## Aborted run record "
-                    f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})"
-                    f": {report['aborted']}\n\n"
-                    f"Build completed before the serve-phase canary abort: "
-                    f"build {report['build_min']} min, peak RSS "
-                    f"{report['jvm_peak_rss_gb_after_build']} GiB, artifacts "
-                    f"{report['artifact_gb']} GB; gate={json.dumps(load_gate)}. "
-                    f"No SLO numbers recorded (host degraded).\n"
-                )
-        raise SystemExit(3)
 
     # Re-probe IO immediately before the measured burst: the gate ran
     # BEFORE a warm-up that can take minutes, and the r11 full-cycle run
@@ -895,12 +934,11 @@ def main() -> None:
         and 0 <= pre_io["io_bulk_mb_s"] < preburst_bar
         and not os.environ.get("SCALEBENCH_NO_GATE")
     ):
-        report["aborted"] = (
-            f"pre-burst bulk IO {pre_io['io_bulk_mb_s']} MB/s < {preburst_bar}"
+        abort_run(
+            report,
+            load_gate,
+            f"pre-burst bulk IO {pre_io['io_bulk_mb_s']} MB/s < {preburst_bar}",
         )
-        print(f"# ABORT: {report['aborted']} — host degraded mid-warm-up", flush=True)
-        print(json.dumps(report), flush=True)
-        raise SystemExit(3)
     report["host_load_avg_pre_burst"] = os.getloadavg()[0]
     # HTTP (out-of-process client) is the honest default; the in-process
     # path stays one env var away for comparison.
