@@ -198,7 +198,12 @@ _EMIT_LAST = (
     # runs the sequential default) and build/ingest.py (persist() gained
     # an opt-in parallel=True materialization; catalog entries call
     # persist() with defaults).  Neither touches any expression that
-    # reaches a result row.
+    # reaches a result row.  operators/common.py is likewise re-pinned:
+    # fan_out_narrow_input gained a known-row-count skip leg (plan-stats
+    # rowCount >= 1M skips the repartition; file sources have no plan
+    # rowCount and keep the byte leg unchanged) — a repartition decision
+    # can reorder partitions, never rows or values, and every tail
+    # entry's input is a parquet file source on the unchanged leg.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.

@@ -112,6 +112,24 @@ def fan_out_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Da
         # here would collapse a multi-TB scan to ~defaultParallelism giant
         # partitions.  Worst case we lose a small-input optimization.
         return df
+    try:
+        # Known-row-count leg: Catalyst's BYTE estimate undercounts
+        # computed/generated sources by orders of magnitude (a
+        # range->concat text projection estimates ~34 B/row while the
+        # actual text is kilobytes — measured in corpusbench's in-flight
+        # fourth decade, where the byte leg repartitioned a 92 GB corpus
+        # it had estimated at ~1.4 GB: a 72 GB all-to-all shuffle for
+        # zero parallelism gain).  When the plan KNOWS its row count
+        # (range / local relations — exactly the source shapes whose
+        # byte estimates lie) and it is at least 1M rows, the input is
+        # never "narrow" in the sense this guard exists for (1-2-split
+        # tiny test files); skip.  File sources have no plan row count
+        # and keep the byte leg.
+        row_opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if row_opt.isDefined() and int(row_opt.get().toString()) >= 1_000_000:
+            return df
+    except Exception:
+        pass  # byte leg below decides
     est_splits = est_bytes // max_split
     if est_splits >= max(1, target // 2):
         return df
