@@ -124,19 +124,60 @@ def main() -> None:
             print(f"# bench error {name}: {exc}")
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+
+    # The driver captures only the LAST 2,000 characters of stdout.
+    # Round 11 emitted per-rep lists inline and the floor-critical
+    # queries fell off the truncated head (BENCH_r11 showed 21 of 76
+    # queries; d6 invisible).  So: (a) reps + data fingerprint go to a
+    # sidecar file whose path rides in the JSON line; (b) the queries
+    # dict — the bulk of the line — serializes LAST, with the
+    # floor-critical queries at its very end, inside any tail window.
+    floor_critical = [
+        "s2_ivf_topk",
+        "c10_lsh_decontamination",
+        "c12_token_window_decontamination",
+        "d5_embedding_neardup",
+        "s4_ivf_recall",
+        "s1_cosine_topk",
+        "c8_bloom_decontamination",
+        "d7_edit_distance_verify",
+        "d2_minhash_lsh_pairs",
+        "d6_dup_groups",
+    ]
+    ordered = {n: t for n, t in timings.items() if n not in floor_critical}
+    ordered.update(
+        {n: timings[n] for n in floor_critical if n in timings}
+    )
+
+    sidecar = {
+        "query_reps": rep_lists,
+        "data_fingerprint": _data_fingerprint(sf_dir),
+        "load_gate": gate,
+    }
+    reps_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_REPS_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_reps_last.json"),
+    )
+    try:
+        with open(reps_file, "w", encoding="utf-8") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        reps_file = ""
+
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_reps": rep_lists,
                 "sf": sf,
                 "host_load_avg_start": load0,
                 "host_load_avg_end": _host_load(),
-                "load_gate": gate,
-                "data_fingerprint": _data_fingerprint(sf_dir),
+                "gate_passed": gate.get("gate_passed"),
+                "reps": reps,
+                "reps_file": reps_file,
+                "queries": ordered,
             }
         )
     )

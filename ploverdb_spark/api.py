@@ -210,7 +210,9 @@ class KpRegistry:
             ewma, inflight = self._lat_ewma, self._n_inflight
         if ewma is None:
             return
-        ahead = inflight + self._n_queued
+        with self._queue_lock:
+            queued = self._n_queued
+        ahead = inflight + queued
         if ahead < 2 * self._max_workers:
             return
         est = ewma * (ahead / self._max_workers + 1.0)

@@ -97,116 +97,19 @@ DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
 # emits at most 50 correctness rows while the catalog is 76 — so
-# front-load the entries that most need a fresh row.  Round 11 rotation:
-# the 24 entries whose last driver row is r09 (the r10 tail) come back
-# first (r10∪r11 must cover all 76), then the two NEW entries
-# (m7_jpeg_metadata, c12_token_window_decontamination — never measured),
-# then every remaining entry executing this round's changed modules —
-# operators/dedup.py + queries/pipeline.py (token-window decontamination
-# operators + c12 registration): the rest of the pipeline family;
-# operators/multimodal.py + queries/media.py (JPEG segment walk + m7):
-# m1-m6 — and j10_edges_between_pairs, whose serving sibling
-# (query/response.py get_edges) gained BETWEEN stat-pruning conjuncts
-# this round.  NOTE to driver maintainers: the emitter should assert
+# front-load the entries that most need a fresh row.  Round 12 rotation:
+# the 26 entries whose last driver row is r10 (the r11 tail —
+# graph/relational/semantics/windows) come back first (r11∪r12 must
+# cover all 76), then the media family (operators/multimodal.py gains
+# real JPEG pixel decode this round, so every media entry's chain
+# changes and must re-measure), then the dedup/decontamination family
+# and floor-critical pipeline entries (operators/dedup.py changed this
+# round — merge_window_hits docstring + round-11 additions now one
+# round old).  NOTE to driver maintainers: the emitter should assert
 # emitted-row count == len(all_oracles()) instead of relying on this
 # ordering.
 _EMIT_FIRST = (
-    # 24 rotated in: last driver row r09 (r10∪r11 covers all 76)
-    "set_ops_customers",
-    "a2_first_order_per_customer",
-    "a3_segment_nations",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_fingerprints",
-    "t5_pii_scan",
-    "t6_repetition_scores",
-    "t7_vocab_topk",
-    "t9_tfidf_topk",
-    "t10_pii_redaction",
-    "s3_kmeans_cells",
-    "s5_ivf_multiprobe",
-    "s6_signed_projection",
-    "c1_clean_corpus",
-    "c2_decontamination",
-    "c6_embedding_quantization",
-    "c9_temperature_mixture",
-    "c11_doc_chunking",
-    "p4_zip_roundtrip",
-    "p6_most_specific_categories",
-    "p7_canonical_flip",
-    "a4_normalize_merge",
-    # new this round — never driver-measured
-    "m7_jpeg_metadata",
-    "c12_token_window_decontamination",
-    # remaining pipeline family (operators/dedup.py + queries/pipeline.py
-    # changed: token-window operators added, c12 registered)
-    "d1_exact_dedup",
-    "d2_minhash_lsh_pairs",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "d5_embedding_neardup",
-    "d6_dup_groups",
-    "d7_edit_distance_verify",
-    "c8_bloom_decontamination",
-    "c10_lsh_decontamination",
-    "t8_quality_quantile",
-    "s1_cosine_topk",
-    "s2_ivf_topk",
-    "s4_ivf_recall",
-    "c3_sequence_packing",
-    "c4_stratified_sample",
-    "c5_domain_cap",
-    "c7_training_mix",
-    # media family (operators/multimodal.py + queries/media.py changed:
-    # JPEG walk added, m7 registered)
-    "m1_media_features",
-    "m2_frame_samples",
-    "m3_resize_dims",
-    "m4_audio_metadata",
-    "m5_flac_metadata",
-    "m6_mp3_metadata",
-    # /edges semantics sibling: response.py get_edges gained BETWEEN
-    # conjuncts this round (j10 re-expresses the same pair-join shape)
-    "j10_edges_between_pairs",
-)
-
-
-# Emitted LAST: when the driver's 50-row cap truncates the catalog,
-# these are the safest rows to lose (their last green row still
-# describes the current code).  Entries exercising this round's changed
-# modules must stay inside the emitted window.
-_EMIT_LAST = (
-    # exactly (catalog - 50) entries: 76-entry catalog minus the driver's
-    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
-    # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r10.  Executed-code provenance for the round-11
-    # changes (query/response.py get_edges BETWEEN conjuncts,
-    # session.py io_bulk_probe/gate, operators/multimodal.py JPEG walk,
-    # operators/dedup.py token-window operators, queries/pipeline.py c12,
-    # queries/media.py m7; catalog.py changed only in the rotation tuples
-    # and comments, which cannot alter any entry's output): every tail
-    # entry registers in queries/graph.py, queries/relational.py,
-    # queries/semantics.py or queries/windows.py — graph.py's j11/j2
-    # lookups re-express the /edges and /neighbors join shapes directly
-    # rather than through the changed response.py, and session.py is not
-    # imported by any catalog entry.  Two chain modules DID change in
-    # round 11's serving warm-up work and are consciously re-pinned:
-    # query/compiler.py (the shared _maps_lock split into four
-    # per-structure locks — the same no-redundant-build guard per map —
-    # and warmup() gained an opt-in parallel=True; every catalog entry
-    # runs the sequential default) and build/ingest.py (persist() gained
-    # an opt-in parallel=True materialization; catalog entries call
-    # persist() with defaults).  Neither touches any expression that
-    # reaches a result row.  operators/common.py is likewise re-pinned:
-    # fan_out_narrow_input gained a known-row-count skip leg (plan-stats
-    # rowCount >= 1M skips the repartition; file sources have no plan
-    # rowCount and keep the byte leg unchanged) — a repartition decision
-    # can reorder partitions, never rows or values, and every tail
-    # entry's input is a parquet file source on the unchanged leg.
-    # tests/test_emission_rotation.py pins each entry's full transitive
-    # module chain by content hash; any unpinned change to a chain module
-    # fails that test loudly instead of silently staling a tail row.
+    # 26 rotated in: last driver row r10 (r11∪r12 covers all 76)
     "a1_meta_kg",
     "g2_subclass_closure",
     "j11_batch_neighbors",
@@ -233,6 +136,88 @@ _EMIT_LAST = (
     "w1_sessionize",
     "w2_rollup_orders",
     "w3_value_deltas",
+    # media family: operators/multimodal.py chain changes this round
+    # (JPEG pixel decode for the m1/m3 consumers)
+    "m1_media_features",
+    "m2_frame_samples",
+    "m3_resize_dims",
+    "m4_audio_metadata",
+    "m5_flac_metadata",
+    "m6_mp3_metadata",
+    "m7_jpeg_metadata",
+    # dedup/decontamination + floor-critical pipeline entries
+    # (operators/dedup.py changed this round)
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "d5_embedding_neardup",
+    "d6_dup_groups",
+    "d7_edit_distance_verify",
+    "c8_bloom_decontamination",
+    "c10_lsh_decontamination",
+    "c12_token_window_decontamination",
+    "t8_quality_quantile",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "s4_ivf_recall",
+    "c5_domain_cap",
+    "c7_training_mix",
+    # graph-family sibling of the serving layer (response.py /edges)
+    "j10_edges_between_pairs",
+)
+
+
+# Emitted LAST: when the driver's 50-row cap truncates the catalog,
+# these are the safest rows to lose (their last green row still
+# describes the current code).  Entries exercising this round's changed
+# modules must stay inside the emitted window.
+_EMIT_LAST = (
+    # exactly (catalog - 50) entries: 76-entry catalog minus the driver's
+    # 50-row cap, so the drop set is EXPLICIT, not whatever registration
+    # order leaves last.  Every entry here has a green DRIVER row in
+    # CORRECTNESS_r11.  Executed-code provenance for the round-12
+    # changes (api.py 503-shedding queue-lock read — not in any catalog
+    # chain; scalebench.py / bench.py — harness scripts outside the
+    # package; operators/multimodal.py JPEG pixel decode — media entries
+    # all rotated into _EMIT_FIRST, and no tail chain imports it): the
+    # relational entries register in queries/relational.py and the
+    # p4/p6/p7/a4 entries in queries/semantics.py, both unchanged; the
+    # t/s/c entries register in queries/pipeline.py, whose chain
+    # includes operators/dedup.py — dedup.py DID change this round and
+    # is consciously re-pinned: the only edit since these entries'
+    # r11-green measurement is the merge_window_hits docstring
+    # (git diff: 8 insertions, 4 deletions, every line inside the
+    # triple-quoted string), which cannot alter any expression.
+    # tests/test_emission_rotation.py pins each entry's full transitive
+    # module chain by content hash; any unpinned change to a chain module
+    # fails that test loudly instead of silently staling a tail row.
+    "set_ops_customers",
+    "a2_first_order_per_customer",
+    "a3_segment_nations",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
+    "t5_pii_scan",
+    "t6_repetition_scores",
+    "t7_vocab_topk",
+    "t9_tfidf_topk",
+    "t10_pii_redaction",
+    "s3_kmeans_cells",
+    "s5_ivf_multiprobe",
+    "s6_signed_projection",
+    "c1_clean_corpus",
+    "c2_decontamination",
+    "c3_sequence_packing",
+    "c4_stratified_sample",
+    "c6_embedding_quantization",
+    "c9_temperature_mixture",
+    "c11_doc_chunking",
+    "p4_zip_roundtrip",
+    "p6_most_specific_categories",
+    "p7_canonical_flip",
+    "a4_normalize_merge",
 )
 
 

@@ -827,10 +827,14 @@ def merge_window_hits(
     """Merge matched k-token window start positions into maximal
     contaminated token spans (gaps-and-islands): windows at ``p1 <= p2``
     belong to one span when ``p2 - p1 <= window`` (their token ranges
-    overlap or touch).  Output per span: 1-based ``span_start`` /
-    ``span_end`` token indices, ``span_len``, and ``n_windows`` (matched
-    windows inside the span).  One shuffle on ``id_col`` — hits are the
-    sparse output of a contamination join, tiny next to the corpus."""
+    overlap or touch).  ``window`` MUST be the gram size k used to build
+    the hits: it is both the merge-gap threshold and the length added to
+    the last start position (``span_end = max(pos) + window - 1``) —
+    passing a merge gap different from k would silently skew the span
+    geometry.  Output per span: 1-based ``span_start`` / ``span_end``
+    token indices, ``span_len``, and ``n_windows`` (matched windows
+    inside the span).  One shuffle on ``id_col`` — hits are the sparse
+    output of a contamination join, tiny next to the corpus."""
     w = Window.partitionBy(id_col).orderBy(pos_col)
     p = F.col(pos_col)
     marked = hits.withColumn(

@@ -607,6 +607,17 @@ def main() -> None:
         print("# waiting (<= 30 min) for quiet host ...", flush=True)
         load_gate = wait_for_quiet_host(bulk_bar_mb_s=bulk_bar or None)
         print(f"# load gate: {load_gate}", flush=True)
+        if load_gate.get("gate_passed") is False:
+            # Building on a host that never went quiet inside the gate
+            # window can only produce a record with a red gate line —
+            # exit rc=3 so a supervisor retries on a later window
+            # instead of sinking ~10 min of degraded build.
+            print(
+                "# ABORT: quiet-host gate timed out — host degraded, "
+                "retry later",
+                flush=True,
+            )
+            raise SystemExit(3)
 
     spark = get_spark("scalebench")
     kgx_dir, art_dir = f"{WORK_DIR}/kgx", f"{WORK_DIR}/artifacts"
@@ -915,7 +926,8 @@ def main() -> None:
     # 72 MB/s -> primary burst 504s -> healthy again one burst later).
     # Loadavg is useless here (our own warm-up dominates it); the fsync
     # probes see through that.  Recorded always; aborts (for a parent
-    # retry on a fresh gate) only when SCALEBENCH_BULK_BAR_MB_S gates.
+    # retry on a fresh gate) by default at IO_BULK_BAR_MB_S — set
+    # SCALEBENCH_BULK_BAR_MB_S=0 to record without gating.
     from ploverdb_spark.session import (
         IO_BULK_BAR_MB_S,
         io_bulk_probe,
@@ -939,6 +951,10 @@ def main() -> None:
             load_gate,
             f"pre-burst bulk IO {pre_io['io_bulk_mb_s']} MB/s < {preburst_bar}",
         )
+    # Settle after the probe's own fsync traffic so its device-queue
+    # backlog can't inflate the burst latencies it just cleared — the
+    # same reason wait_for_quiet_host sleeps 1 s after its bulk leg.
+    time.sleep(1.0)
     report["host_load_avg_pre_burst"] = os.getloadavg()[0]
     # HTTP (out-of-process client) is the honest default; the in-process
     # path stays one env var away for comparison.

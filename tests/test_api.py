@@ -455,6 +455,56 @@ def test_admission_sheds_doomed_requests_503_not_504(registry):
     assert status == 200
 
 
+def test_shed_recovery_admits_on_stale_ewma(registry):
+    """Recovery path of the shedding estimate (observed live in round 11:
+    a recovered host's 100-request burst shed 89 on a stale-high EWMA
+    while the 11 admitted finished in milliseconds).  The EWMA learns
+    only from completions, so after a contended window it reads high
+    long after the host recovers; the saturation guard
+    (``ahead >= 2 * max_workers``) must admit arrivals until the pool is
+    genuinely backed up, letting fast completions re-teach the estimate
+    instead of mass-shedding on old evidence."""
+    import threading
+
+    from ploverdb_spark.api import KpRegistry
+
+    reg = KpRegistry(
+        max_workers=4,
+        backlog=16,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=5.0,
+    )
+    reg.register("graft", registry.engine("graft"))
+
+    # Stale-high evidence: the estimate alone would 503 anything
+    # (est >= 60s >> 5s window) — but the pool is idle, so ahead stays
+    # far below 2*max_workers=8 and every arrival must be admitted.
+    for _ in range(6):
+        reg._note_latency(60.0)
+
+    statuses: list[int] = []
+    lock = threading.Lock()
+
+    def arrive():
+        status, _ = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+        with lock:
+            statuses.append(status)
+
+    # A concurrent wave of 6: inflight tops out at 4 with <= 2 queued —
+    # under the saturation bar throughout.
+    threads = [threading.Thread(target=arrive) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert statuses.count(200) == 6, statuses  # zero sheds on recovery
+    # ...and those completions re-taught the estimate (0.7 decay per
+    # completion: 60 * 0.7^6 ~ 7s), so the stale reading is gone.
+    with reg._lat_lock:
+        assert reg._lat_ewma < 60.0 * 0.7**5
+
+
 def test_debug_last_endpoint(registry):
     """GET /debug/last (reference main.py:554-568, mirrored from
     test_non_query_commands.py): cached snapshot + captured_at + note,
