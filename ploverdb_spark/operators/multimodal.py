@@ -8,15 +8,16 @@ batches, never single rows.
 Decoding routes by container magic bytes: genuine PNG and BMP payloads go
 through REAL pure-Python decoders (``decode_png`` / ``decode_bmp`` —
 chunk walk, zlib inflate, scanline unfilter; no native deps), JPEG —
-the dominant crawl image format — through a REAL segment walk
-(``parse_jpeg``: SOF0/SOF2 frame header, JFIF detection, per-scan
-entropy skipping; header-only, no Huffman/DCT), and everything else
-falls back to a deterministic hash-derived stub (``_fake_decode``) so
-the pipeline stays runnable in containers without codec libraries and
-so corrupt/unknown payloads degrade instead of failing the job.  Exotic
-image formats (GIF, WebP) and JPEG pixels decode through ``_real_decode``
-when PIL is installed; audio/video metadata still needs ffmpeg and uses
-the stub.
+the dominant crawl image format — through a REAL segment walk for
+metadata (``parse_jpeg``: SOF0/SOF2 frame header, JFIF detection,
+per-scan entropy skipping; header-only, O(segments)) plus a REAL
+baseline Huffman+IDCT pixel decode (``decode_jpeg``) where pixels are
+consumed; everything else falls back to a deterministic hash-derived
+stub (``_fake_decode``) so the pipeline stays runnable in containers
+without codec libraries and so corrupt/unknown payloads degrade instead
+of failing the job.  Exotic image formats (GIF, WebP) decode through
+``_real_decode`` when PIL is installed; audio/video metadata still needs
+ffmpeg and uses the stub.
 
 At 100 TB: binaries dominate row size, so operators repartition by byte
 budget (``target_partition_bytes``), select only the binary + key columns
@@ -32,6 +33,7 @@ import zlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -466,6 +468,542 @@ def text_as_jpeg(payload: bytes) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG pixel decode (ITU T.81 sequential DCT, Huffman coding).
+# Pure Python + numpy — no codec libraries — so the m1/m3 pixel consumers
+# work on the dominant crawl format in codec-less containers.  Progressive
+# (SOF2) and arithmetic-coded streams stay header-only and degrade to
+# geometry-with-null-digest.  Per-block numpy IDCT is the fixture/test-scale
+# path; a production fleet swaps in libjpeg-turbo behind the same
+# ``try_decode_image`` routing without touching any consumer.
+
+# Zigzag scan order: zigzag index k -> natural (row-major) coefficient index.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+_ZZ_NP = np.array(_ZIGZAG)
+
+# Orthonormal DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+# IDCT: pixels = A.T @ F @ A; FDCT: F = A @ pixels @ A.T.
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 C.2 canonical code assignment: symbol -> (code, length)."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise ValueError("malformed Huffman table")
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= 1 << length:
+                raise ValueError("Huffman code overflow")
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for bit-serial decoding."""
+    return {(ln, c): sym for sym, (c, ln) in _huff_canonical(bits, vals).items()}
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; any non-stuffing marker mid-read is a hard error
+    (truncated/corrupt scan) except restart markers, which are consumed
+    only at :meth:`sync_restart` boundaries."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        data, p = self.data, self.pos
+        if p >= len(data):
+            raise ValueError("JPEG entropy data truncated")
+        b = data[p]
+        if b == 0xFF:
+            if p + 1 >= len(data):
+                raise ValueError("JPEG entropy data truncated")
+            if data[p + 1] != 0x00:
+                raise ValueError("marker inside entropy-coded segment")
+            self.pos = p + 2
+            return 0xFF
+        self.pos = p + 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.buf = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTm marker (m = idx mod 8)."""
+        self.n = 0
+        data, p = self.data, self.pos
+        if (
+            p + 2 > len(data)
+            or data[p] != 0xFF
+            or data[p + 1] != 0xD0 + (idx & 7)
+        ):
+            raise ValueError("missing/misnumbered JPEG restart marker")
+        self.pos = p + 2
+
+
+def _huff_decode_symbol(r: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude field to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_block(
+    r: _JpegBitReader,
+    dc_tab: dict,
+    ac_tab: dict,
+    qtab: list[int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: DC diff + AC run-lengths -> dequantized
+    natural-order coefficient matrix, and the updated DC predictor."""
+    zz = [0] * 64
+    s = _huff_decode_symbol(r, dc_tab)
+    if s > 11:
+        raise ValueError("DC category out of range")
+    pred += _extend(r.read_bits(s), s) if s else 0
+    zz[0] = pred * qtab[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode_symbol(r, ac_tab)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(r.read_bits(size), size) * qtab[k]
+        k += 1
+    coefs = np.zeros(64)
+    coefs[_ZZ_NP] = zz
+    return coefs.reshape(8, 8), pred
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, bytearray, int]:
+    """Baseline-sequential JPEG pixel decode (T.81 SOF0/SOF1, Huffman):
+    DQT (8/16-bit), DHT, DRI/restart markers, one interleaved scan,
+    sampling factors up to 4:2:0/4:2:2, grayscale and YCbCr->RGB output.
+    Returns ``(width, height, interleaved_samples, channels)`` like
+    :func:`decode_png` / :func:`decode_bmp`.  Raises ``ValueError`` on
+    progressive/arithmetic/multi-scan streams and on any structural or
+    entropy defect — callers degrade per record, never fail the stage.
+    Allocation is bounded by ``MAX_DECODED_BYTES`` BEFORE any plane is
+    built (header dims are untrusted)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None  # (precision, height, width, [(cid, h, v, tq), ...])
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("lost JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated segment")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker in _JPEG_SOF_MARKERS:
+            if marker not in (0xC0, 0xC1):
+                raise ValueError(
+                    "unsupported JPEG coding process (progressive/arithmetic)"
+                )
+            if len(body) < 6:
+                raise ValueError("truncated frame header")
+            precision = body[0]
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if width == 0 or height == 0 or ncomp not in (1, 3):
+                raise ValueError("unsupported frame geometry")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated component specs")
+            comps = []
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
+            frame = (precision, height, width, comps)
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                n = 128 if pq else 64
+                if i + 1 + n > len(body):
+                    raise ValueError("truncated DQT")
+                if pq:
+                    tab = [
+                        int.from_bytes(body[i + 1 + 2 * j : i + 3 + 2 * j], "big")
+                        for j in range(64)
+                    ]
+                else:
+                    tab = list(body[i + 1 : i + 65])
+                qt[tq] = tab
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("scan before frame header")
+            return _decode_scan(
+                data, pos, frame, body, qt, huff, restart_interval
+            )
+    raise ValueError("no scan data")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    sos: bytes,
+    qt: dict[int, list[int]],
+    huff: dict[tuple[int, int], dict],
+    restart_interval: int,
+) -> tuple[int, int, bytearray, int]:
+    _prec, height, width, comps = frame
+    if len(sos) < 1 or sos[0] != len(comps):
+        # per-component (non-interleaved) baseline scans are rare enough
+        # that the header-geometry degrade path is the right trade
+        raise ValueError("only single interleaved scans supported")
+    ncomp = len(comps)
+    if len(sos) < 1 + 2 * ncomp + 3:
+        raise ValueError("truncated SOS header")
+    if sos[1 + 2 * ncomp] != 0 or sos[2 + 2 * ncomp] != 63:
+        raise ValueError("non-baseline spectral selection")
+    tables = {}
+    for i in range(ncomp):
+        cs, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        tables[cs] = (tt >> 4, tt & 15)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise ValueError("unsupported sampling factors")
+    out_ch = 3 if ncomp == 3 else 1
+    if width * height * out_ch > MAX_DECODED_BYTES:
+        raise ValueError("decoded image exceeds allocation cap")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = []
+    specs = []  # (h, v, qtab, dc_table, ac_table)
+    for cid, h, v, tq in comps:
+        if h not in (1, 2) or v not in (1, 2) or hmax % h or vmax % v:
+            raise ValueError("unsupported sampling factors")
+        if tq not in qt or cid not in tables:
+            raise ValueError("missing quantization table / scan component")
+        tdc, tac = tables[cid]
+        if (0, tdc) not in huff or (1, tac) not in huff:
+            raise ValueError("missing Huffman table")
+        planes.append(np.zeros((mcus_y * v * 8, mcus_x * h * 8)))
+        specs.append((h, v, qt[tq], huff[(0, tdc)], huff[(1, tac)]))
+    reader = _JpegBitReader(data, pos)
+    preds = [0] * ncomp
+    n_restarts = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart(n_restarts)
+            n_restarts += 1
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, (h, v, qtab, dct, act) in enumerate(specs):
+            for by in range(v):
+                for bx in range(h):
+                    coefs, preds[ci] = _decode_block(
+                        reader, dct, act, qtab, preds[ci]
+                    )
+                    px = _DCT_A.T @ coefs @ _DCT_A + 128.0
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    full = []
+    for (h, v, _q, _d, _a), plane in zip(specs, planes):
+        if h != hmax or v != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        full.append(plane[:height, :width])
+    if ncomp == 1:
+        rgb = full[0][..., None]
+    else:
+        y, cb, cr = full
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+    samples = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, bytearray(samples.tobytes()), out_ch
+
+
+# Encoder-side Huffman tables: trivially valid canonical tables (12 DC
+# categories at 5 bits, all 162 AC symbols at 8 bits).  Spec-correct and
+# decodable by ANY baseline decoder via the DHT segments the encoder
+# emits; optimal compression is a non-goal for fixture synthesis.
+_ENC_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _dc_category(v: int) -> int:
+    a, s = abs(v), 0
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def encode_jpeg_baseline(
+    samples: bytes | bytearray,
+    width: int,
+    height: int,
+    channels: int = 3,
+    quant: int = 2,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JPEG encoder (T.81 SOF0): RGB/gray samples ->
+    YCbCr, 8x8 FDCT, flat-``quant`` quantization, canonical Huffman
+    entropy coding with spec-correct DQT/DHT/SOS segments, optional
+    4:2:0 chroma subsampling and DRI restart markers.  Exists so tests
+    and fixture synthesis can produce GENUINE decodable streams (the
+    md5-derived :func:`text_as_jpeg` containers carry arbitrary entropy
+    bytes on purpose — their oracle is codec-free); round-trips through
+    :func:`decode_jpeg` within quantization error."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample buffer does not match geometry")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dims outside JPEG 16-bit fields")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant outside 8-bit DQT range")
+    arr = (
+        np.frombuffer(bytes(samples), dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(height, width, channels)
+    )
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [arr[..., 0]]
+        samp = [(1, 1)]
+        subsample = False
+    if subsample:
+        for i in (1, 2):
+            p = planes[i]
+            if p.shape[0] % 2:
+                p = np.vstack([p, p[-1:]])
+            if p.shape[1] % 2:
+                p = np.hstack([p, p[:, -1:]])
+            planes[i] = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    padded = []
+    for (h, v), p in zip(samp, planes):
+        th, tw = mcus_y * v * 8, mcus_x * h * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        padded.append(p - 128.0)
+
+    dc_codes = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_canonical(_ENC_AC_BITS, _ENC_AC_VALS)
+    qtab = [quant] * 64
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    entropy_parts: list[bytes] = []
+    n_restarts = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            entropy_parts.append(bytes(bw.out))
+            entropy_parts.append(bytes([0xFF, 0xD0 + (n_restarts & 7)]))
+            bw = _JpegBitWriter()
+            n_restarts += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, ((h, v), plane) in enumerate(zip(samp, padded)):
+            for by in range(v):
+                for bx in range(h):
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h + bx) * 8
+                    block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                    coefs = _DCT_A @ block @ _DCT_A.T
+                    zq = np.rint(coefs / quant).astype(int).ravel()[_ZZ_NP]
+                    diff = int(zq[0]) - preds[ci]
+                    preds[ci] = int(zq[0])
+                    s = _dc_category(diff)
+                    code, ln = dc_codes[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v_ac = int(zq[k])
+                        if v_ac == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = _dc_category(v_ac)
+                        code, ln = ac_codes[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v_ac if v_ac >= 0 else v_ac + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]
+                        bw.write(code, ln)
+    bw.flush()
+    entropy_parts.append(bytes(bw.out))
+
+    out = bytearray(JPEG_SOI)
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytes([0]) + bytes(qtab[k] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(planes)])
+    for ci, (h, v) in enumerate(samp):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in (
+        (0, _ENC_DC_BITS, _ENC_DC_VALS),
+        (1, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        dht = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    for part in entropy_parts:
+        out += part
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_metadata(
     media: DataFrame,
     id_col: str = "media_id",
@@ -530,10 +1068,11 @@ def image_header_dims(payload: bytes) -> tuple[int, int] | None:
     the SAME support envelope as the full decoders (bit depth 8, known
     color type, non-interlaced; uncompressed 24/32-bpp BMP whose claimed
     pixel data fits the payload) so "has dims" and "is decodable" stay
-    one notion; JPEG is header-only by design (the engine ships no
-    Huffman/DCT decoder — dims, components and the progressive flag come
-    from the real SOF0/SOF2 segment walk, and pixel consumers degrade to
-    geometry-with-null-digest).  Never inflates or unfilters pixels:
+    one notion; JPEG stays header-only HERE by design (dims, components
+    and the progressive flag come from the real SOF0/SOF2 segment walk —
+    baseline streams additionally pixel-decode via :func:`decode_jpeg`
+    where pixels are consumed, while progressive/undecodable streams
+    keep geometry-with-null-digest).  Never inflates or unfilters pixels:
     metadata extraction over a 100 TB archive must be O(header), not
     O(pixels)."""
     try:
@@ -564,6 +1103,8 @@ def try_decode_image(
             return decode_png(payload)
         if payload[:2] == b"BM" and len(payload) > 34:
             return decode_bmp(payload)
+        if payload[:2] == JPEG_SOI:
+            return decode_jpeg(payload)
     except DECODE_ERRORS:
         pass
     return None

@@ -783,8 +783,9 @@ def test_jpeg_metadata_degrade_through_spark(spark):
 def test_jpeg_header_dims_route_into_image_family():
     """image_header_dims / decode_media / resize_media treat a genuine
     JPEG like PNG/BMP: real header dims (no PIL), geometry-only resize
-    with a null thumb digest (no pixel decoder), stub only for corrupt
-    bytes."""
+    with a null thumb digest for non-baseline-decodable streams (the
+    synthesis containers carry arbitrary entropy bytes and no DHT on
+    purpose), stub only for corrupt bytes."""
     from ploverdb_spark.operators.multimodal import (
         _fake_decode,
         build_jpeg,
@@ -803,3 +804,134 @@ def test_jpeg_header_dims_route_into_image_family():
     corrupt = jpg[:8]
     assert image_header_dims(corrupt) is None
     assert decode_media(corrupt, "image") == _fake_decode(corrupt, "image")
+
+
+def _grad_pixels(w, h, ch):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    return np.stack(
+        [(base + 40 * c) % 256 for c in range(ch)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_pixel_roundtrip():
+    """decode_jpeg recovers encode_jpeg_baseline's pixels within
+    quantization error: flat blocks are DC-only so they round-trip
+    EXACTLY; gradients stay within a couple of levels.  Covers
+    grayscale, 4:4:4 and 4:2:0 color, non-multiple-of-8 dims, and DRI
+    restart markers (byte realignment + DC predictor reset)."""
+    import numpy as np
+
+    from ploverdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        parse_jpeg,
+    )
+
+    for w, h, ch, sub, ri, flat, tol in [
+        (16, 16, 1, False, 0, True, 0),
+        (16, 16, 3, False, 0, True, 0),
+        (16, 16, 3, True, 0, True, 0),
+        (24, 17, 3, False, 0, False, 2),
+        (24, 17, 3, True, 0, False, 2),
+        (33, 9, 1, False, 2, False, 2),
+    ]:
+        px = (
+            np.full((h, w, ch), 130, dtype=np.uint8)
+            if flat
+            else _grad_pixels(w, h, ch)
+        )
+        data = encode_jpeg_baseline(
+            px.tobytes(), w, h, ch, subsample=sub, restart_interval=ri
+        )
+        # the stream's own metadata walk agrees with the encoder
+        meta = parse_jpeg(data)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["progressive"] is False
+        ow, oh, samples, oc = decode_jpeg(data)
+        assert (ow, oh, oc) == (w, h, ch)
+        out = np.frombuffer(bytes(samples), dtype=np.uint8).reshape(h, w, ch)
+        err = np.abs(out.astype(int) - px.astype(int)).max()
+        assert err <= tol, f"{w}x{h} ch={ch} sub={sub} ri={ri}: err {err}"
+
+
+def test_jpeg_pixel_decode_degrades_not_oom():
+    """Non-baseline-decodable JPEG streams degrade per record through
+    try_decode_image, never raise out of it: progressive containers,
+    synthesis containers (no DHT, arbitrary entropy bytes), truncated
+    entropy data, and hostile headers claiming cap-busting dims (the
+    allocation bound fires BEFORE any plane is built)."""
+    import numpy as np
+
+    from ploverdb_spark.operators.multimodal import (
+        MAX_DECODED_BYTES,
+        build_jpeg,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        text_as_jpeg,
+        try_decode_image,
+    )
+
+    assert try_decode_image(build_jpeg(b"x" * 64, 32, 32, progressive=True)) is None
+    assert try_decode_image(text_as_jpeg(b"some document text")) is None
+
+    good = encode_jpeg_baseline(
+        _grad_pixels(16, 16, 3).tobytes(), 16, 16, 3
+    )
+    assert try_decode_image(good) is not None
+    # truncate mid-entropy: the scan runs out of bits
+    assert try_decode_image(good[: len(good) - 40]) is None
+    # hostile dims: patch the SOF0 height/width fields to 65535x65535
+    # (12.9 GB decoded) — must refuse via the allocation cap, fast
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    hostile = bytearray(good)
+    hostile[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"
+    assert 65535 * 65535 * 3 > MAX_DECODED_BYTES
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_jpeg(bytes(hostile))
+    assert try_decode_image(bytes(hostile)) is None
+
+
+def test_jpeg_resize_media_real_pixels_through_spark(spark):
+    """m3 on real JPEG pixels: a genuine baseline JPEG payload gets a
+    thumb_sha computed from ACTUAL decoded+resized pixels (same contract
+    as PNG/BMP); a progressive JPEG keeps its real header geometry with
+    a null digest."""
+    import hashlib
+
+    from ploverdb_spark.operators.multimodal import (
+        build_jpeg,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        fit_within,
+        resize_media,
+        resize_nearest,
+    )
+
+    px = _grad_pixels(24, 16, 3)
+    jpg = encode_jpeg_baseline(px.tobytes(), 24, 16, 3)
+    prog = build_jpeg(b"scan" * 50, 640, 480, 3, progressive=True)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(jpg), "image", ("t", "jpg")),
+            (2, bytearray(prog), "image", ("t", "jpg")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<source:string, declared_format:string>",
+    )
+    rows = {r.media_id: r for r in resize_media(media, max_dim=8).collect()}
+    w, h, samples, ch = decode_jpeg(jpg)
+    ow, oh = fit_within(w, h, 8)
+    expect = hashlib.sha256(
+        bytes(resize_nearest(samples, w, h, ch, ow, oh))
+    ).hexdigest()[:12]
+    assert (rows[1].width, rows[1].height) == (24, 16)
+    assert rows[1].thumb_sha == expect
+    assert (rows[1].out_width, rows[1].out_height) == (ow, oh)
+    # progressive: real header geometry, null digest
+    assert (rows[2].width, rows[2].height) == (640, 480)
+    assert rows[2].thumb_sha is None
+    assert (rows[2].out_width, rows[2].out_height) == fit_within(640, 480, 8)
