@@ -231,7 +231,10 @@ class KpRegistry:
         if self._worker_slots is None:
             yield
             return
+        import time as _time
+
         self._shed_if_doomed()
+        t_arrive = _time.monotonic()
         acquired = self._worker_slots.acquire(blocking=False)
         if not acquired:
             # all workers busy: join the bounded backlog (or 503)
@@ -255,7 +258,30 @@ class KpRegistry:
                     "Server busy: no worker became available within "
                     f"{self.queue_wait_sec:.0f}s — retry later.",
                 )
-        import time as _time
+            # Dequeue-time re-check: admission-time shedding estimates
+            # from the EWMA available AT ARRIVAL, so a simultaneous wave
+            # admitted on healthy evidence can queue into a window the
+            # host then degrades (observed: 100-burst admitted at
+            # EWMA~1s, per-request cost turned out ~8s, tail requests
+            # completed at 100s against a 60s client).  GROUND TRUTH
+            # ONLY: shed when the wait ALONE overruns the window — the
+            # caller is definitively gone, and running its query burns a
+            # worker for nobody.  Deliberately no EWMA term here: a
+            # stale-high estimate at dequeue would mass-shed a recovered
+            # host's queue (the same failure the admission-time
+            # saturation guard exists for); the marginal request that
+            # dequeues just inside the window and finishes slightly past
+            # it is the acceptable cost of an un-fakeable criterion.
+            if self.client_window_sec is not None:
+                waited = _time.monotonic() - t_arrive
+                if waited > self.client_window_sec:
+                    self._worker_slots.release()
+                    raise QueryError(
+                        503,
+                        f"Server busy: queued {waited:.0f}s, past the "
+                        f"{self.client_window_sec:.0f}s client window — "
+                        "retry later.",
+                    )
 
         t0 = _time.monotonic()
         with self._lat_lock:

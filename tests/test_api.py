@@ -505,6 +505,63 @@ def test_shed_recovery_admits_on_stale_ewma(registry):
         assert reg._lat_ewma < 60.0 * 0.7**5
 
 
+def test_dequeue_shed_past_client_window(registry):
+    """Dequeue-time window re-check: a request admitted on healthy
+    evidence but left queueing past the client window must 503 the
+    moment it gets a slot (its wait is ground truth — the caller is
+    gone) instead of burning a worker; a short, in-window queue wait
+    still proceeds to 200."""
+    import threading
+    import time
+
+    from ploverdb_spark.api import KpRegistry
+
+    def run_queued(reg, hold_sec):
+        """Hold the only slot for hold_sec while one request queues;
+        return its (status, body)."""
+        out = []
+
+        def arrive():
+            out.append(handle(reg, "neighbors", {"node_ids": ["N:0"]}))
+
+        cm = reg.admission()
+        cm.__enter__()
+        t = threading.Thread(target=arrive, daemon=True)
+        t.start()
+        deadline = time.monotonic() + 5
+        while reg._n_queued < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert reg._n_queued == 1
+        time.sleep(hold_sec)
+        cm.__exit__(None, None, None)
+        t.join(timeout=60)
+        return out[0]
+
+    reg = KpRegistry(
+        max_workers=1,
+        backlog=8,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=0.3,
+    )
+    reg.register("graft", registry.engine("graft"))
+    status, body = run_queued(reg, hold_sec=0.6)  # waited 0.6s > 0.3s window
+    assert status == 503, body
+    assert "client window" in body["error"]
+
+    # generous window: the same queued shape proceeds normally
+    reg2 = KpRegistry(
+        max_workers=1,
+        backlog=8,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=60.0,
+    )
+    reg2.register("graft", registry.engine("graft"))
+    status, _ = run_queued(reg2, hold_sec=0.1)
+    assert status == 200
+
+
 def test_debug_last_endpoint(registry):
     """GET /debug/last (reference main.py:554-568, mirrored from
     test_non_query_commands.py): cached snapshot + captured_at + note,
