@@ -164,7 +164,9 @@ class KpRegistry:
         self.client_window_sec = client_window_sec
         self._max_workers = max_workers
         self._lat_lock = threading.Lock()
+        self._lat_cond = threading.Condition(self._lat_lock)
         self._lat_ewma: float | None = None
+        self._lat_noted_at: float | None = None  # monotonic, last completion
         self._n_inflight = 0
         self._worker_slots = (
             threading.Semaphore(max_workers) if max_workers else None
@@ -176,12 +178,17 @@ class KpRegistry:
         """Fold one completed Spark-heavy request into the moving
         estimate (EWMA, alpha 0.3: reactive to a degrading host within a
         few requests, stable against one outlier)."""
+        import time as _time
+
         with self._lat_lock:
             self._lat_ewma = (
                 sec
                 if self._lat_ewma is None
                 else 0.7 * self._lat_ewma + 0.3 * sec
             )
+            self._lat_noted_at = _time.monotonic()
+            # wake any doom-parked arrivals: fresh evidence to re-judge on
+            self._lat_cond.notify_all()
 
     def _shed_if_doomed(self) -> None:
         """503 a request that cannot finish inside the client window.
@@ -203,26 +210,77 @@ class KpRegistry:
         genuinely backed up costs at most ~2 pool-depths of work — on a
         fast host those completions pull the EWMA down within one pool
         drain and nothing more is shed; on a degraded host they confirm
-        the estimate and the tail sheds as intended."""
+        the estimate and the tail sheds as intended.
+
+        Freshness guard: the saturation guard alone cannot protect a
+        BURST arrival — any 100-wave saturates the pool within
+        milliseconds, satisfying ``ahead >= 2 * max_workers`` while the
+        EWMA still describes a contended window that ended a minute ago
+        (observed: endurance burst after an idle gap shed 79/100 on the
+        PRIMARY burst's EWMA while its 21 admitted requests finished in
+        0.15 s).  Evidence older than one client window is treated as
+        expired: admit, let completions re-teach the estimate, and rely
+        on the dequeue-time ground-truth check to bound the damage if
+        the host really is still degraded."""
         if self.client_window_sec is None or self._worker_slots is None:
             return
+        import time as _time
+
+        doomed, est = self._doomed_now()
+        if not doomed:
+            return
+        # Park-for-evidence: a doom verdict is only as good as the moment
+        # it was computed on, and this host flips state on the minute
+        # timescale (observed twice: a 100-wave judged in milliseconds on
+        # the PREVIOUS burst's EWMA shed 79-82 healthy requests whose
+        # probe cohort then finished in 0.15 s).  Instead of firing
+        # immediately, hold the arrival briefly and re-judge as live
+        # completions land (_note_latency notifies; short wait slices
+        # make a missed notify harmless): on a recovered host the probe
+        # cohort's completions collapse the EWMA within ~1 s and the
+        # parked wave admits; on a genuinely degraded host nothing
+        # completes inside the park and the 503 is still fast.
+        deadline = _time.monotonic() + min(
+            2.0, self.client_window_sec / 30.0
+        )
+        while True:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise QueryError(
+                    503,
+                    "Server busy: estimated completion "
+                    f"{est:.0f}s exceeds the {self.client_window_sec:.0f}s "
+                    "client window — retry later.",
+                )
+            with self._lat_cond:
+                self._lat_cond.wait(min(remaining, 0.1))
+            doomed, est = self._doomed_now()
+            if not doomed:
+                return
+
+    def _doomed_now(self) -> tuple[bool, float]:
+        """One doom evaluation on current evidence: (doomed, estimate).
+        Not doomed when evidence is absent (cold), expired (older than
+        one client window), or the pool is not genuinely saturated."""
+        import time as _time
+
         with self._lat_lock:
             ewma, inflight = self._lat_ewma, self._n_inflight
+            noted_at = self._lat_noted_at
         if ewma is None:
-            return
+            return False, 0.0
+        if (
+            noted_at is None
+            or _time.monotonic() - noted_at > self.client_window_sec
+        ):
+            return False, 0.0
         with self._queue_lock:
             queued = self._n_queued
         ahead = inflight + queued
         if ahead < 2 * self._max_workers:
-            return
+            return False, 0.0
         est = ewma * (ahead / self._max_workers + 1.0)
-        if est > self.client_window_sec:
-            raise QueryError(
-                503,
-                "Server busy: estimated completion "
-                f"{est:.0f}s exceeds the {self.client_window_sec:.0f}s "
-                "client window — retry later.",
-            )
+        return est > self.client_window_sec, est
 
     @contextlib.contextmanager
     def admission(self):

@@ -505,6 +505,130 @@ def test_shed_recovery_admits_on_stale_ewma(registry):
         assert reg._lat_ewma < 60.0 * 0.7**5
 
 
+def test_doom_park_rescued_by_live_completions(registry):
+    """A doom verdict must survive one round of live evidence before
+    firing: an arrival judged doomed on a fresh-but-wrong EWMA (host
+    recovered between bursts — observed live as 79-82/100 false sheds)
+    parks briefly, and completions landing during the park collapse the
+    estimate and rescue it to a 200 instead of a 503."""
+    import threading
+    import time
+
+    from ploverdb_spark.api import KpRegistry
+
+    reg = KpRegistry(
+        max_workers=1,
+        backlog=8,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=10.0,  # park budget = 10/30 ~ 0.33s
+    )
+    reg.register("graft", registry.engine("graft"))
+    for _ in range(6):
+        reg._note_latency(60.0)  # doom-grade, fresh
+
+    release = threading.Event()
+
+    def hold_and_exit():
+        with reg.admission():
+            release.wait(5)
+
+    cm = reg.admission()
+    cm.__enter__()  # slot held: ahead will be 2 = 2*max_workers
+    t_q = threading.Thread(target=hold_and_exit, daemon=True)
+    t_q.start()
+    deadline = time.monotonic() + 5
+    while reg._n_queued < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert reg._n_queued == 1
+
+    out = []
+    t0 = time.monotonic()
+    t_arr = threading.Thread(
+        target=lambda: out.append(
+            handle(reg, "neighbors", {"node_ids": ["N:0"]})
+        ),
+        daemon=True,
+    )
+    t_arr.start()
+    time.sleep(0.15)
+    assert not out, "arrival should be parked, not yet judged"
+    # live evidence lands mid-park: the host is actually fast
+    for _ in range(10):
+        reg._note_latency(0.01)  # EWMA 60 * 0.7^10 ~ 1.7s -> est ~5s < 10s
+    release.set()
+    cm.__exit__(None, None, None)
+    t_q.join(timeout=30)
+    t_arr.join(timeout=60)
+    status, body = out[0]
+    assert status == 200, body
+    assert time.monotonic() - t0 < 30
+
+
+def test_shed_requires_fresh_evidence(registry):
+    """A saturated pool plus a stale-high EWMA must still admit: any
+    100-wave saturates the pool within milliseconds, so the saturation
+    guard alone cannot stop a mass-shed on evidence describing a window
+    that ended a minute ago (observed live: endurance burst shed 79/100
+    on the primary burst's EWMA while its admitted requests finished in
+    0.15s).  Evidence older than one client window is expired."""
+    import threading
+    import time
+
+    from ploverdb_spark.api import KpRegistry
+
+    reg = KpRegistry(
+        max_workers=1,
+        backlog=8,
+        queue_wait_sec=30,
+        query_timeout_sec=45,
+        client_window_sec=10.0,
+    )
+    reg.register("graft", registry.engine("graft"))
+    for _ in range(6):
+        reg._note_latency(60.0)  # doom-grade estimate, currently fresh
+
+    release = threading.Event()
+    done = []
+
+    def hold_and_queue():
+        with reg.admission():
+            release.wait(5)
+        done.append(1)
+
+    cm = reg.admission()
+    cm.__enter__()  # the one worker slot held
+    t = threading.Thread(target=hold_and_queue, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 5
+    while reg._n_queued < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert reg._n_queued == 1  # ahead = 2 = 2*max_workers: saturated
+
+    # fresh evidence: the estimate applies and the arrival is shed
+    status, body = handle(reg, "neighbors", {"node_ids": ["N:0"]})
+    assert status == 503 and "client window" in body["error"]
+
+    # same saturation, same EWMA — but the evidence is now older than
+    # the client window: expired, so the arrival must be admitted
+    with reg._lat_lock:
+        reg._lat_noted_at -= 11.0
+    ok = []
+
+    def arrive():
+        ok.append(handle(reg, "neighbors", {"node_ids": ["N:0"]})[0])
+
+    t2 = threading.Thread(target=arrive, daemon=True)
+    t2.start()
+    time.sleep(0.3)
+    assert not ok, "should be queued, not shed"
+    cm.__exit__(None, None, None)
+    release.set()
+    t.join(timeout=30)
+    t2.join(timeout=60)
+    assert ok == [200]
+
+
 def test_dequeue_shed_past_client_window(registry):
     """Dequeue-time window re-check: a request admitted on healthy
     evidence but left queueing past the client window must 503 the
