@@ -165,6 +165,14 @@ def main() -> None:
     except OSError:
         reps_file = ""
 
+    # The driver keeps only the LAST 2,000 characters of stdout, so keys
+    # BEFORE the (long) queries dict vanish from the captured artifact on
+    # a full-catalog run.  A compact summary AFTER the queries dict makes
+    # the tail self-sufficient: total, gate verdict, and the bulk-IO
+    # reading (the host-attribution VERDICT r11 asked for — 10.6 MB/s
+    # windows must be visible in the artifact, not just the sidecar).
+    from ploverdb_spark.session import io_bulk_probe
+
     print(
         json.dumps(
             {
@@ -173,11 +181,13 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "host_load_avg_start": load0,
-                "host_load_avg_end": _host_load(),
-                "gate_passed": gate.get("gate_passed"),
                 "reps": reps,
                 "reps_file": reps_file,
                 "queries": ordered,
+                "host_load_avg_end": _host_load(),
+                "gate_passed": gate.get("gate_passed"),
+                "io_bulk_mb_s_end": io_bulk_probe(),
+                "total_sec": total,
             }
         )
     )

@@ -96,20 +96,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 76 — so
+# emits at most 50 correctness rows while the catalog is 78 — so
 # front-load the entries that most need a fresh row.  Round 12 rotation:
-# the 26 entries whose last driver row is r10 (the r11 tail —
-# graph/relational/semantics/windows) come back first (r11∪r12 must
-# cover all 76), then the media family (operators/multimodal.py gains
-# real JPEG pixel decode this round, so every media entry's chain
-# changes and must re-measure), then the dedup/decontamination family
-# and floor-critical pipeline entries (operators/dedup.py changed this
-# round — merge_window_hits docstring + round-11 additions now one
-# round old).  NOTE to driver maintainers: the emitter should assert
-# emitted-row count == len(all_oracles()) instead of relying on this
-# ordering.
+# the two NEW entries (c13/c14, queries/curation.py — never measured)
+# lead, then the 26 entries whose last driver row is r10 (the r11 tail —
+# graph/relational/semantics/windows; r11∪r12 must cover the catalog),
+# then the media family (operators/multimodal.py gains real JPEG pixel
+# decode this round, so every media entry's chain changes and must
+# re-measure), then the dedup/decontamination family and floor-critical
+# pipeline entries (operators/dedup.py changed this round).  To make
+# room for c13/c14 inside the 50-row window, s2_ivf_topk and
+# t8_quality_quantile moved to the tail: both r11-green, and their
+# operator modules (similarity.py / text.py) are UNCHANGED this round,
+# so their pinned chains still describe measured code.  NOTE to driver
+# maintainers: the emitter should assert emitted-row count ==
+# len(all_oracles()) instead of relying on this ordering.
 _EMIT_FIRST = (
-    # 26 rotated in: last driver row r10 (r11∪r12 covers all 76)
+    # round-12 additions: first-ever driver rows
+    "c13_canonical_selection",
+    "c14_span_redaction",
+    # 26 rotated in: last driver row r10 (r11∪r12 covers the catalog)
     "a1_meta_kg",
     "g2_subclass_closure",
     "j11_batch_neighbors",
@@ -157,9 +163,7 @@ _EMIT_FIRST = (
     "c8_bloom_decontamination",
     "c10_lsh_decontamination",
     "c12_token_window_decontamination",
-    "t8_quality_quantile",
     "s1_cosine_topk",
-    "s2_ivf_topk",
     "s4_ivf_recall",
     "c5_domain_cap",
     "c7_training_mix",
@@ -173,10 +177,12 @@ _EMIT_FIRST = (
 # describes the current code).  Entries exercising this round's changed
 # modules must stay inside the emitted window.
 _EMIT_LAST = (
-    # exactly (catalog - 50) entries: 76-entry catalog minus the driver's
+    # exactly (catalog - 50) entries: 78-entry catalog minus the driver's
     # 50-row cap, so the drop set is EXPLICIT, not whatever registration
     # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r11.  Executed-code provenance for the round-12
+    # CORRECTNESS_r11 — including s2_ivf_topk / t8_quality_quantile,
+    # demoted this round to make window room for c13/c14; their operator
+    # modules (similarity.py / text.py) are unchanged in round 12.  Executed-code provenance for the round-12
     # changes (api.py 503-shedding queue-lock read — not in any catalog
     # chain; scalebench.py / bench.py — harness scripts outside the
     # package; operators/multimodal.py JPEG pixel decode — media entries
@@ -218,6 +224,8 @@ _EMIT_LAST = (
     "p6_most_specific_categories",
     "p7_canonical_flip",
     "a4_normalize_merge",
+    "s2_ivf_topk",
+    "t8_quality_quantile",
 )
 
 
@@ -276,6 +284,10 @@ def _ensure_loaded() -> None:
         pass
     try:
         from ploverdb_spark.queries import media  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from ploverdb_spark.queries import curation  # noqa: F401
     except ImportError:
         pass
     _LOADED = True
