@@ -382,6 +382,76 @@ def run(n_docs: int, label: str) -> dict:
     if on("c12"):
         meter.measure("c12_token_window_decontamination", c12)
 
+    def c14():
+        """Span redaction (the c12 remediation) at corpus scale, with an
+        EXACT planted invariant stronger than c12's flag set: each
+        clique's seed-copy member (doc_id % 13 == 0) is verbatim
+        benchmark text, so its single span covers tokens 1..n_base and
+        redaction keeps ZERO tokens; each mutated member keeps EXACTLY
+        its one appended token, whose md5 ("mutated1"/"mutated2") is a
+        closed-form constant.  Any geometry drift, off-by-one in the
+        span merge, or tokenization mismatch between the scan and the
+        surgery shows up as a nonzero violation count."""
+        from ploverdb_spark.operators import curation as Cu
+
+        spans = D.token_window_decontaminate(
+            docs, window=13, bench_mod=997, hash_family="xxhash64"
+        )
+        red = Cu.redact_token_spans(docs, spans).persist()
+        n_red = red.count()
+        clique = docs.where(F.col("doc_id") % 13 < 3).select(
+            "doc_id",
+            (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(13))).alias("m"),
+        )
+        bench_m = (
+            clique.where(F.col("doc_id") % 997 == 0).select("m").distinct()
+        )
+        expected = clique.join(F.broadcast(bench_m), "m").where(
+            F.col("doc_id") % 997 != 0
+        )
+        n_expected = expected.count()
+        sym_diff = (
+            red.select("doc_id")
+            .unionByName(expected.select("doc_id"))
+            .groupBy("doc_id")
+            .count()
+            .where(F.col("count") != 2)
+            .count()
+        )
+        n_base = (
+            120 + F.pmod(F.xxhash64(F.col("m"), F.lit(1)), F.lit(440))
+        ).cast("int")
+        mod = F.pmod(F.col("doc_id"), F.lit(13))
+        ok_seed = (mod == 0) & (F.col("n_tokens_kept") == 0)
+        ok_mut = (
+            mod.isin(1, 2)
+            & (F.col("n_tokens_kept") == 1)
+            & (
+                F.col("redacted_hash")
+                == F.md5(F.concat(F.lit("mutated"), mod.cast("string")))
+            )
+        )
+        bad = (
+            red.join(expected.select("doc_id", "m"), "doc_id")
+            .where(
+                ~(ok_seed | ok_mut)
+                | (F.col("n_spans") != 1)
+                | (F.col("n_tokens_removed") != n_base)
+            )
+            .count()
+        )
+        out = {
+            "out_rows": n_red,
+            "flagged_docs_expected": n_expected,
+            "flag_set_symmetric_diff": sym_diff,
+            "bad_redaction_rows": bad,
+        }
+        red.unpersist()
+        return out
+
+    if on("c14"):
+        meter.measure("c14_span_redaction", c14)
+
     def c7():
         feats = T.text_features(docs).select(
             "doc_id", "n_tokens", "quality_score"

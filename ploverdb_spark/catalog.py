@@ -96,21 +96,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DRIVER_EMIT_CAP = 50
 
 # Emitted first in queries()/oracle_sql() iteration order.  The driver
-# emits at most 50 correctness rows while the catalog is 78 — so
+# emits at most 50 correctness rows while the catalog is 79 — so
 # front-load the entries that most need a fresh row.  Round 12 rotation:
-# the two NEW entries (c13/c14, queries/curation.py — never measured)
-# lead, then the 26 entries whose last driver row is r10 (the r11 tail —
+# the three NEW entries (c13/c14 in queries/curation.py, m8 in
+# queries/media.py — never measured) lead or sit with their family,
+# then the 26 entries whose last driver row is r10 (the r11 tail —
 # graph/relational/semantics/windows; r11∪r12 must cover the catalog),
 # then the media family (operators/multimodal.py gains real JPEG pixel
-# decode this round, so every media entry's chain changes and must
-# re-measure), then the dedup/decontamination family and floor-critical
-# pipeline entries (operators/dedup.py changed this round).  To make
-# room for c13/c14 inside the 50-row window, s2_ivf_topk and
-# t8_quality_quantile moved to the tail: both r11-green, and their
-# operator modules (similarity.py / text.py) are UNCHANGED this round,
-# so their pinned chains still describe measured code.  NOTE to driver
-# maintainers: the emitter should assert emitted-row count ==
-# len(all_oracles()) instead of relying on this ordering.
+# decode + the GIF walk this round, so every media entry's chain
+# changes and must re-measure), then the dedup/decontamination family
+# and floor-critical pipeline entries (operators/dedup.py changed this
+# round).  To make room for c13/c14/m8 inside the 50-row window,
+# s2_ivf_topk, t8_quality_quantile and c5_domain_cap moved to the tail:
+# all r11-green, and their operator modules (similarity.py / text.py /
+# packing.py) are UNCHANGED this round, so their pinned chains still
+# describe measured code.  NOTE to driver maintainers: the emitter
+# should assert emitted-row count == len(all_oracles()) instead of
+# relying on this ordering.
 _EMIT_FIRST = (
     # round-12 additions: first-ever driver rows
     "c13_canonical_selection",
@@ -151,6 +153,7 @@ _EMIT_FIRST = (
     "m5_flac_metadata",
     "m6_mp3_metadata",
     "m7_jpeg_metadata",
+    "m8_gif_metadata",
     # dedup/decontamination + floor-critical pipeline entries
     # (operators/dedup.py changed this round)
     "d1_exact_dedup",
@@ -165,7 +168,6 @@ _EMIT_FIRST = (
     "c12_token_window_decontamination",
     "s1_cosine_topk",
     "s4_ivf_recall",
-    "c5_domain_cap",
     "c7_training_mix",
     # graph-family sibling of the serving layer (response.py /edges)
     "j10_edges_between_pairs",
@@ -177,12 +179,13 @@ _EMIT_FIRST = (
 # describes the current code).  Entries exercising this round's changed
 # modules must stay inside the emitted window.
 _EMIT_LAST = (
-    # exactly (catalog - 50) entries: 78-entry catalog minus the driver's
+    # exactly (catalog - 50) entries: 79-entry catalog minus the driver's
     # 50-row cap, so the drop set is EXPLICIT, not whatever registration
     # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r11 — including s2_ivf_topk / t8_quality_quantile,
-    # demoted this round to make window room for c13/c14; their operator
-    # modules (similarity.py / text.py) are unchanged in round 12.  Executed-code provenance for the round-12
+    # CORRECTNESS_r11 — including s2_ivf_topk / t8_quality_quantile /
+    # c5_domain_cap, demoted this round to make window room for
+    # c13/c14/m8; their operator modules (similarity.py / text.py /
+    # packing.py) are unchanged in round 12.  Executed-code provenance for the round-12
     # changes (api.py 503-shedding queue-lock read — not in any catalog
     # chain; scalebench.py / bench.py — harness scripts outside the
     # package; operators/multimodal.py JPEG pixel decode — media entries
@@ -226,6 +229,7 @@ _EMIT_LAST = (
     "a4_normalize_merge",
     "s2_ivf_topk",
     "t8_quality_quantile",
+    "c5_domain_cap",
 )
 
 

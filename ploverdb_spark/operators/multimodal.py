@@ -469,6 +469,224 @@ def text_as_jpeg(payload: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF container walk (GIF87a/89a block structure).  Header-only like the
+# JPEG segment walk: logical screen descriptor, global/local color table
+# skipping, extension blocks (graphic control, application, comment) via
+# the shared data-sub-block grammar, per-frame image descriptors.  No LZW
+# decode — metadata extraction over a 100 TB archive is O(blocks), and
+# GIF's animation metadata (frame count, aggregate delay) lives entirely
+# in the block structure.
+
+GIF_MAGIC_87 = b"GIF87a"
+GIF_MAGIC_89 = b"GIF89a"
+
+GIF_META_SCHEMA = (
+    "media_id long, n_bytes long, width int, height int, n_frames int, "
+    "has_gct boolean, gct_colors int, n_extensions int, "
+    "duration_ms long, n_data_bytes long, version string"
+)
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[int, int]:
+    """Walk GIF data sub-blocks (length byte + payload, 0x00 terminator)
+    from ``pos``; returns ``(pos_after_terminator, n_payload_bytes)``.
+    A payload cut mid-block counts the bytes actually present — the same
+    mid-stream truncation tolerance as the JPEG entropy skip."""
+    total = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return pos, total
+        total += min(n, len(data) - pos)
+        pos += n
+    return pos, total
+
+
+def parse_gif(data: bytes) -> dict[str, Any] | None:
+    """Real GIF87a/89a block walk: screen dims from the logical screen
+    descriptor, global/local color tables skipped by their packed size
+    fields, every extension (0x21) skipped through the sub-block grammar
+    with graphic-control delays accumulated into ``duration_ms``, frames
+    counted at their image descriptors (0x2C), LZW payload bytes summed
+    without decoding.  ``None`` for anything that is not a GIF;
+    truncation mid-walk keeps what was parsed (per-record degrade)."""
+    if len(data) < 13 or data[:6] not in (GIF_MAGIC_87, GIF_MAGIC_89):
+        return None
+    version = data[3:6].decode("ascii")
+    width, height = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    has_gct = bool(packed & 0x80)
+    gct_colors = 2 ** ((packed & 0x07) + 1) if has_gct else 0
+    pos = 13 + (3 * gct_colors if has_gct else 0)
+    n_frames = n_ext = 0
+    duration_ms = n_data = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte, then sub-blocks
+            n_ext += 1
+            if pos >= len(data):
+                break
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos + 4 <= len(data) and data[pos] == 4:
+                # graphic control: size(4), packed, delay u16le, index
+                duration_ms += (
+                    struct.unpack("<H", data[pos + 2 : pos + 4])[0] * 10
+                )
+            pos, _ = _gif_subblocks(data, pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                break
+            desc = data[pos : pos + 9]
+            pos += 9
+            if desc[8] & 0x80:  # local color table
+                pos += 3 * (2 ** ((desc[8] & 0x07) + 1))
+            pos += 1  # LZW minimum code size
+            pos, nb = _gif_subblocks(data, pos)
+            n_frames += 1
+            n_data += nb
+        else:  # unrecognized block type: the stream cannot be resynced
+            break
+    return {
+        "n_bytes": len(data),
+        "width": int(width),
+        "height": int(height),
+        "n_frames": n_frames,
+        "has_gct": has_gct,
+        "gct_colors": gct_colors,
+        "n_extensions": n_ext,
+        "duration_ms": duration_ms,
+        "n_data_bytes": n_data,
+        "version": version,
+    }
+
+
+def build_gif(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    gct_bits: int | None = None,
+    delay_cs: int = 0,
+    loop: int | None = None,
+    comment: bytes | None = b"gif",
+) -> bytes:
+    """Spec-correct GIF89a byte stream for the synthesis/round-trip path:
+    header, logical screen descriptor (optional global color table of
+    ``2^(gct_bits+1)`` entries), a comment extension (exercises
+    unknown-extension skipping), an optional NETSCAPE2.0 loop extension,
+    then per frame a graphic-control extension + image descriptor + LZW
+    code size + the frame body as 255-byte data sub-blocks, and the
+    trailer.  Frame bodies are the caller's bytes verbatim — not valid
+    LZW, but every structure a block walk touches is genuine."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dims {width}x{height} outside GIF 16-bit fields")
+    if gct_bits is not None and not 0 <= gct_bits <= 7:
+        raise ValueError(f"gct_bits {gct_bits} outside 0-7")
+    if not 0 <= delay_cs <= 0xFFFF:
+        raise ValueError(f"delay_cs {delay_cs} outside u16")
+    out = bytearray(GIF_MAGIC_89)
+    packed = 0x80 | (7 << 4) | gct_bits if gct_bits is not None else 0
+    out += struct.pack("<HH", width, height) + bytes([packed, 0, 0])
+    if gct_bits is not None:
+        out += bytes(3 * (2 ** (gct_bits + 1)))
+    if comment is not None:
+        out += b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00"
+    if loop is not None:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop)
+            + b"\x00"
+        )
+    for body in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([8])  # LZW minimum code size
+        for i in range(0, len(body), 255):
+            chunk = body[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def text_as_gif(payload: bytes) -> bytes:
+    """Deterministic GIF synthesis from an opaque payload (the animation
+    sibling of ``text_as_jpeg``): screen dims, frame count, color-table
+    presence/size and per-frame delay come from md5 bytes, the payload
+    splits evenly across the frames as their LZW-stand-in bodies — so a
+    SQL oracle recomputes every metadata field from md5/length alone
+    while the engine-side bytes round-trip through the real block walk."""
+    d = hashlib.md5(payload).digest()
+    n_frames = 1 + d[2] % 4
+    q, r = divmod(len(payload), n_frames)
+    frames, off = [], 0
+    for i in range(n_frames):
+        ln = q + (1 if i < r else 0)
+        frames.append(payload[off : off + ln])
+        off += ln
+    return build_gif(
+        frames,
+        width=16 + d[0] * 4,
+        height=16 + d[1] * 4,
+        gct_bits=(d[4] % 3) if d[3] % 2 == 0 else None,
+        delay_cs=d[5],
+        loop=0 if n_frames > 1 else None,
+    )
+
+
+def gif_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    synthesize: bool = False,
+) -> DataFrame:
+    """Per-record GIF block-structure extraction over a binary payload
+    column (same Arrow-batched, shuffle-free shape as jpeg_metadata).
+    Corrupt/non-GIF/NULL records yield null metadata fields, never a
+    stage failure."""
+
+    meta_keys = (
+        "width",
+        "height",
+        "n_frames",
+        "has_gct",
+        "gct_colors",
+        "n_extensions",
+        "duration_ms",
+        "n_data_bytes",
+        "version",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    meta, gif = None, None
+                else:
+                    raw = bytes(p)
+                    gif = text_as_gif(raw) if synthesize else raw
+                    meta = parse_gif(gif)
+                row: dict[str, Any] = {
+                    "media_id": mid,
+                    "n_bytes": len(gif) if gif is not None else None,
+                }
+                for k in meta_keys:
+                    row[k] = meta[k] if meta is not None else None
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    pruned = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    )
+    return pruned.mapInPandas(batches, schema=GIF_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Baseline JPEG pixel decode (ITU T.81 sequential DCT, Huffman coding).
 # Pure Python + numpy — no codec libraries — so the m1/m3 pixel consumers
 # work on the dominant crawl format in codec-less containers.  Progressive
@@ -1084,6 +1302,10 @@ def image_header_dims(payload: bytes) -> tuple[int, int] | None:
             return w, h
         if payload[:2] == JPEG_SOI:
             meta = parse_jpeg(payload)
+            if meta is not None:
+                return meta["width"], meta["height"]
+        if payload[:6] in (GIF_MAGIC_87, GIF_MAGIC_89):
+            meta = parse_gif(payload)
             if meta is not None:
                 return meta["width"], meta["height"]
     except DECODE_ERRORS:

@@ -190,6 +190,71 @@ def m7_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m8_gif_metadata",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+      FROM documents
+    ), p AS (
+      SELECT media_id, dlen,
+             16 + {_md5_byte(0)} * 4 AS width,
+             16 + {_md5_byte(1)} * 4 AS height,
+             1 + ({_md5_byte(2)} % 4) AS nf,
+             {_md5_byte(3)} % 2 = 0 AS has_gct,
+             {_md5_byte(4)} % 3 AS gbits,
+             {_md5_byte(5)} AS delay_cs
+      FROM m
+    ), q AS (
+      SELECT media_id, dlen, width, height, nf, has_gct, delay_cs,
+             dlen // nf AS fq, dlen % nf AS fr,
+             CASE WHEN has_gct THEN
+               CASE gbits WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END
+             ELSE 0 END AS gct_colors
+      FROM p
+    )
+    SELECT media_id,
+           6 + 7 + 3 * gct_colors + 7
+             + (CASE WHEN nf > 1 THEN 19 ELSE 0 END)
+             + nf * 20 + dlen
+             + fr * ((fq + 1 + 254) // 255)
+             + (nf - fr) * ((fq + 254) // 255)
+             + 1 AS n_bytes,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           has_gct,
+           CAST(gct_colors AS INTEGER) AS gct_colors,
+           CAST(1 + nf + (CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_extensions,
+           CAST(nf * delay_cs * 10 AS BIGINT) AS duration_ms,
+           dlen AS n_data_bytes,
+           '89a' AS version
+    FROM q
+    """,
+    doc="GIF block walk (the animation sibling of m7): deterministic "
+    "GIF89a synthesis (md5-derived dims/frame-count/color-table/delay, "
+    "payload split across frames as LZW-stand-in sub-blocks, a comment "
+    "extension exercising unknown-extension skipping, NETSCAPE loop "
+    "extension when animated) round-tripped through a REAL block walk "
+    "(logical screen descriptor, global/local color-table skipping, "
+    "sub-block grammar, graphic-control delay accumulation, truncation "
+    "tolerance).  The oracle recomputes every field from md5/length, "
+    "codec-free: n_bytes = 6+7 header + 3*gct colors + 7-byte comment + "
+    "19-byte loop ext + 20 bytes/frame of GCE+descriptor+LZW-size+"
+    "terminator + payload + per-frame ceil(len/255) sub-block length "
+    "bytes + 1-byte trailer.",
+)
+def m8_gif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return M.gif_metadata(media, synthesize=True)
+
+
+@register(
     "m4_audio_metadata",
     oracle=f"""
     WITH m AS (

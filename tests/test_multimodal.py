@@ -935,3 +935,114 @@ def test_jpeg_resize_media_real_pixels_through_spark(spark):
     assert (rows[2].width, rows[2].height) == (640, 480)
     assert rows[2].thumb_sha is None
     assert (rows[2].out_width, rows[2].out_height) == fit_within(640, 480, 8)
+
+
+def test_gif_container_roundtrip():
+    """m8: deterministic GIF synthesis round-trips through the real block
+    walk across every branch (frame count, color table presence/size,
+    loop extension, multi-block frames)."""
+    import hashlib
+
+    from ploverdb_spark.operators.multimodal import parse_gif, text_as_gif
+
+    for payload in (
+        b"short",
+        b"",
+        b"x" * 700,  # forces multiple 255-byte sub-blocks
+        b"vary the digest to hit other frame-count/color-table branches",
+        bytes(range(256)) * 2,  # every byte value incl. 0xFF and 0x00
+    ):
+        gif = text_as_gif(payload)
+        d = hashlib.md5(payload).digest()
+        m = parse_gif(gif)
+        nf = 1 + d[2] % 4
+        assert (m["width"], m["height"]) == (16 + d[0] * 4, 16 + d[1] * 4)
+        assert m["n_frames"] == nf
+        assert m["n_data_bytes"] == len(payload)
+        assert m["has_gct"] == (d[3] % 2 == 0)
+        assert m["gct_colors"] == (
+            2 ** ((d[4] % 3) + 1) if d[3] % 2 == 0 else 0
+        )
+        # comment + one GCE per frame + loop ext iff animated
+        assert m["n_extensions"] == 1 + nf + (1 if nf > 1 else 0)
+        assert m["duration_ms"] == nf * d[5] * 10
+        assert m["n_bytes"] == len(gif)
+        assert m["version"] == "89a"
+
+
+def test_gif_corrupt_and_truncated_degrade():
+    """Non-GIF and short payloads return None; mid-stream truncation
+    keeps what was parsed (per-record degrade, like JPEG/MP3)."""
+    from ploverdb_spark.operators.multimodal import parse_gif, text_as_gif
+
+    assert parse_gif(b"") is None
+    assert parse_gif(b"NOTAGIF........") is None
+    assert parse_gif(b"GIF89a") is None  # header only, no screen desc
+    gif = text_as_gif(b"a payload long enough to truncate mid-blocks" * 4)
+    full = parse_gif(gif)
+    part = parse_gif(gif[: len(gif) // 2])
+    assert part is not None
+    assert part["n_frames"] <= full["n_frames"]
+    assert part["n_data_bytes"] <= full["n_data_bytes"]
+    assert (part["width"], part["height"]) == (full["width"], full["height"])
+
+
+def test_gif_local_color_table_skipped():
+    """A frame carrying a local color table (the builder never emits one)
+    is walked correctly: the LCT's 3*2^(n+1) bytes are skipped by the
+    descriptor's packed field, not misread as sub-blocks."""
+    import struct
+
+    from ploverdb_spark.operators.multimodal import parse_gif
+
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 4, 4)
+        + bytes([0, 0, 0])  # no GCT
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 4, 4)
+        + bytes([0x80 | 1])  # LCT flag, 4 entries -> 12 bytes
+        + bytes(12)
+        + bytes([8])  # LZW code size
+        + bytes([3])
+        + b"abc"
+        + b"\x00"
+        + b"\x3b"
+    )
+    m = parse_gif(gif)
+    assert m["n_frames"] == 1
+    assert m["n_data_bytes"] == 3
+    assert m["has_gct"] is False and m["gct_colors"] == 0
+
+
+def test_gif_metadata_degrade_through_spark(spark):
+    """m8's Spark seam: NULL payloads and (synthesize=False) garbage both
+    degrade to null metadata rows, real payloads parse."""
+    from ploverdb_spark.operators.multimodal import gif_metadata, text_as_gif
+
+    rows_in = [
+        (1, text_as_gif(b"real animation payload")),
+        (2, b"garbage bytes, wrong magic"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r.media_id: r for r in gif_metadata(media).collect()}
+    assert out[1].width is not None and out[1].n_frames >= 1
+    for mid in (2, 3):
+        assert out[mid].width is None and out[mid].n_data_bytes is None
+    assert out[3].n_bytes is None and out[2].n_bytes == len(rows_in[1][1])
+
+
+def test_gif_header_dims_route_into_image_family():
+    """image_header_dims recognizes both GIF87a and GIF89a screens."""
+    from ploverdb_spark.operators.multimodal import (
+        build_gif,
+        image_header_dims,
+        parse_gif,
+    )
+
+    gif = build_gif([b"frame"], 320, 240)
+    assert image_header_dims(gif) == (320, 240)
+    g87 = b"GIF87a" + gif[6:]
+    assert image_header_dims(g87) == (320, 240)
+    assert parse_gif(g87)["version"] == "87a"
