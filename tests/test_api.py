@@ -468,17 +468,23 @@ def test_shed_recovery_admits_on_stale_ewma(registry):
 
     from ploverdb_spark.api import KpRegistry
 
+    # client_window_sec must be tight enough that the stale 60 s EWMA
+    # alone would shed (est > window), but loose enough that genuine
+    # queue waits on a CONTENDED test box never trip the dequeue-time
+    # ground-truth shed (an honest 503 that would flake this test — the
+    # 5 s window used initially did exactly that under a parallel
+    # suite at host load ~20).
     reg = KpRegistry(
         max_workers=4,
         backlog=16,
         queue_wait_sec=30,
         query_timeout_sec=45,
-        client_window_sec=5.0,
+        client_window_sec=30.0,
     )
     reg.register("graft", registry.engine("graft"))
 
     # Stale-high evidence: the estimate alone would 503 anything
-    # (est >= 60s >> 5s window) — but the pool is idle, so ahead stays
+    # (est >= 60s >> 30s window) — but the pool is idle, so ahead stays
     # far below 2*max_workers=8 and every arrival must be admitted.
     for _ in range(6):
         reg._note_latency(60.0)
@@ -500,9 +506,12 @@ def test_shed_recovery_admits_on_stale_ewma(registry):
         t.join(timeout=60)
     assert statuses.count(200) == 6, statuses  # zero sheds on recovery
     # ...and those completions re-taught the estimate (0.7 decay per
-    # completion: 60 * 0.7^6 ~ 7s), so the stale reading is gone.
+    # completion pulls 60 s toward the observed latencies).  The bound is
+    # host-tolerant: even ~10 s contended completions leave the EWMA
+    # well under half the stale reading, which is the claim that matters
+    # — live evidence displaced the stale evidence.
     with reg._lat_lock:
-        assert reg._lat_ewma < 60.0 * 0.7**5
+        assert reg._lat_ewma < 30.0
 
 
 def test_doom_park_rescued_by_live_completions(registry):
