@@ -724,6 +724,29 @@ def main() -> None:
                 json.dump(stats, f)
                 stats_path = f.name
             spark.stop()
+            # spark.stop() stops the SparkContext but leaves the py4j
+            # gateway JVM alive until THIS python process exits — and
+            # this process now blocks on the serve child for ~15+ min.
+            # Observed live (cycle 4, Aug 17): the stopped build JVM
+            # kept ~50 GB of heap and burned ~11 cores of GC/cleaner
+            # churn, holding the serve child's quiet-host gate red and
+            # polluting any window it did pass.  Terminate the gateway
+            # JVM explicitly; the child builds its own.
+            from pyspark import SparkContext
+
+            gw = SparkContext._gateway
+            if gw is not None:
+                try:
+                    gw.shutdown()
+                except Exception:
+                    pass
+                jproc = getattr(gw, "proc", None)
+                if jproc is not None:
+                    try:
+                        jproc.terminate()
+                        jproc.wait(timeout=10)
+                    except Exception:
+                        pass
             # The serve child self-aborts (rc=3) when any mid-flight
             # health probe says the SHARED host degraded after the gate
             # passed (serial canary, concurrent-warmup wall, pre-burst

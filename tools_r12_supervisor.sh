@@ -9,6 +9,10 @@
 set -u
 cd /root/repo
 export SPARK_GRAFT_DRIVER_MEM=64g
+# Fail fast on degraded-concurrency windows: the 24-request warmup burst
+# is the concurrent-health canary; past 15 s the serve child aborts
+# (rc=3) and retries on a fresh gate instead of measuring the host.
+export SCALEBENCH_WARMUP_ABORT_SEC=15
 DEADLINE=${1:-$(( $(date +%s) + 18000 ))}   # default: 5h from launch
 LOG_DIR=/tmp/r12_supervisor
 mkdir -p "$LOG_DIR"
