@@ -143,7 +143,12 @@ _EMIT_FIRST = (
     "j12_asof_last_order",
     "w1_sessionize",
     "w2_rollup_orders",
-    "w3_value_deltas",
+    # s6's implementation changed this round (r12 optimization: the 16
+    # interpreted zip_with/aggregate folds became one Arrow matmul), so
+    # it takes a window slot for a fresh driver row; w3_value_deltas
+    # moved to the tail to make room (queries/windows.py untouched this
+    # round, r10-green, chain content-pinned).
+    "s6_signed_projection",
     # media family: operators/multimodal.py chain changes this round
     # (JPEG pixel decode for the m1/m3 consumers)
     "m1_media_features",
@@ -215,7 +220,7 @@ _EMIT_LAST = (
     "t10_pii_redaction",
     "s3_kmeans_cells",
     "s5_ivf_multiprobe",
-    "s6_signed_projection",
+    "w3_value_deltas",
     "c1_clean_corpus",
     "c2_decontamination",
     "c3_sequence_packing",
