@@ -228,6 +228,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int = 4096,
     distinct: bool = True,
     hash_family: str = "md5",
+    star: bool = False,
 ) -> DataFrame:
     """Docs agreeing on all hashes within any band become candidate pairs
     (a < b).
@@ -249,6 +250,17 @@ def lsh_candidate_pairs(
     are untouched, and the whole thing stays ONE plan: window count +
     groupBy cluster on the same bucket key, so the expensive signature
     subtree still evaluates exactly once.
+
+    ``star=True`` emits, per (sub-)bucket, only the STAR pairs
+    (bucket-minimum id, other member) instead of all a<b combinations —
+    a bucket of n members contributes n-1 edges instead of n(n-1)/2.
+    The star spans exactly the same connectivity (every member touches
+    the minimum), so consumers that only need the induced components —
+    connected_components/d6 — get IDENTICAL groups from a linear, not
+    quadratic, edge volume; the r12 guide §2.3 move of shuffling fewer
+    rows by shrinking the generated set itself.  Pair-semantics
+    consumers (d2's declared pair list, d4/d7 verification) keep the
+    full form.
     """
     banded = _lsh_band_keys(
         signatures, id_col, num_hashes, band_size, hash_family
@@ -270,24 +282,36 @@ def lsh_candidate_pairs(
     # (``distinct=False`` skips the cross-band dedup shuffle for
     # consumers idempotent to duplicate pairs, e.g. connected_components'
     # min-agg)
-    out = (
-        buckets.select(
+    if star:
+        # ids is sorted, so ids[0] is the bucket minimum: (min, other)
+        # keeps doc_a < doc_b and spans the bucket's connectivity.
+        out = buckets.select(
+            F.element_at("ids", 1).alias("doc_a"),
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+                F.slice(F.col("ids"), 2, F.size(F.col("ids")))
+            ).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
-    )
+    else:
+        out = (
+            buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("ids"), i + 2, F.size(F.col("ids"))
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+        )
     return out.distinct() if distinct else out
 
 

@@ -313,9 +313,17 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: CC's min-agg is idempotent to duplicate candidate
-    # pairs, so the cross-band dedup shuffle is pure waste here
+    # pairs, so the cross-band dedup shuffle is pure waste here.
+    # star=True (r12): CC only needs the components, and a per-bucket
+    # star (member -> bucket minimum) spans exactly the same
+    # connectivity as all C(n,2) pairs — the edge list entering every
+    # CC round drops from quadratic to linear in bucket size, with
+    # identical groups (oracle unchanged: the recursive CTE walks the
+    # full pair graph, whose components equal the star graph's).
     pairs = D.lsh_candidate_pairs(
-        D.minhash_signatures(_doubled_docs(spark, sf_dir)), distinct=False
+        D.minhash_signatures(_doubled_docs(spark, sf_dir)),
+        distinct=False,
+        star=True,
     )
     return D.connected_components(pairs)
 
