@@ -292,25 +292,23 @@ def lsh_candidate_pairs(
             ).alias("doc_b"),
         )
     else:
-        out = (
-            buckets.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            "ids",
-                            lambda x, i: F.transform(
-                                F.slice(
-                                    F.col("ids"), i + 2, F.size(F.col("ids"))
-                                ),
-                                lambda y: F.struct(
-                                    x.alias("doc_a"), y.alias("doc_b")
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
-            .select("p.doc_a", "p.doc_b")
+        # Two Generate operators (posexplode, then explode of the strict
+        # successors) instead of the earlier nested
+        # transform-inside-transform, which built the whole per-bucket
+        # pair array through INTERPRETED higher-order functions before
+        # exploding it (guide §4: array HOFs evaluate per element outside
+        # codegen).  Pair values and order semantics are identical
+        # (verified: exact set equality at sf0.1); the double Generate
+        # streams pairs without materializing the quadratic array per
+        # bucket — which also bounds task memory by |bucket|, not
+        # |bucket|², in the pre-salt-cap regime.
+        out = buckets.select(
+            "ids", F.posexplode("ids").alias("__i", "doc_a")
+        ).select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("doc_b"),
         )
     return out.distinct() if distinct else out
 

@@ -1127,16 +1127,37 @@ def c7_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ploverdb_spark.operators import packing as P
 
     docs = load(spark, sf_dir, "documents")
-    feats = T.text_features(docs).select(
-        "doc_id", "n_tokens", "quality_score"
+    # Quality/length gate computed IN the scan's own projection (tokens
+    # staged once) instead of the earlier docs JOIN text_features(docs)
+    # self-join: the join attached a 1:1 projection of the same table
+    # back onto itself on the unique doc_id — a second scan plus a join
+    # for columns the first scan can compute (guide §2.4).  Same
+    # expressions (_quality_cols' rounded score / token count), same
+    # filter, same surviving rows; A/B at sf0.1: 0.76s -> 0.30s for this
+    # stage in isolation.
+    staged = docs.select(
+        *docs.columns, T.ws_tokens(F.lower(F.col("text"))).alias("__toks")
     )
+    qc = T._quality_cols(F.col("text"), F.col("__toks"))
     clean = (
-        docs.join(feats, "doc_id")
-        .where((F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20))
+        staged.select(
+            *docs.columns,
+            qc["quality_score"].alias("__q"),
+            qc["n_tokens"].alias("__n_tokens"),
+        )
+        .where((F.col("__q") >= 0.4) & (F.col("__n_tokens") >= 20))
         .select(*docs.columns)
     )
     samp = P.stratified_sample(clean, {"en": 0.5})
-    capped = P.cap_per_domain(samp, cap=15)
+    # The post-cap survivor set is O(domains x cap) BY CONSTRUCTION and
+    # is consumed by three downstream branches (repetition keep-set, the
+    # semi join's left side, packing) — Catalyst does not dedupe common
+    # subplans, so without a materialization barrier the whole
+    # scan->clean->sample->cap chain re-evaluates once per branch.  A
+    # lazy localCheckpoint of the tiny survivor set truncates that:
+    # one evaluation, at a cost bounded by cap x domains rows at ANY
+    # corpus scale (guide §5: localCheckpoint as the cheap lineage cut).
+    capped = P.cap_per_domain(samp, cap=15).localCheckpoint(eager=False)
     # The repetition filter goes through an aggregation BARRIER, never a
     # direct .where on the joined metric: predicate pushdown substitutes
     # a filtered alias through every staged projection, re-inlining the
