@@ -189,8 +189,9 @@ _EMIT_LAST = (
     # order leaves last.  Every entry here has a green DRIVER row in
     # CORRECTNESS_r11 — including s2_ivf_topk / t8_quality_quantile /
     # c5_domain_cap, demoted this round to make window room for
-    # c13/c14/m8; their operator modules (similarity.py / text.py /
-    # packing.py) are unchanged in round 12.  Executed-code provenance for the round-12
+    # c13/c14/m8; the functions they execute (ivf/kmeans in similarity.py,
+    # quality_quantile_filter in text.py, cap_per_domain in packing.py)
+    # are unchanged in round 12.  Executed-code provenance for the round-12
     # changes (api.py 503-shedding queue-lock read — not in any catalog
     # chain; scalebench.py / bench.py — harness scripts outside the
     # package; operators/multimodal.py JPEG pixel decode — media entries
@@ -198,11 +199,15 @@ _EMIT_LAST = (
     # relational entries register in queries/relational.py and the
     # p4/p6/p7/a4 entries in queries/semantics.py, both unchanged; the
     # t/s/c entries register in queries/pipeline.py, whose chain
-    # includes operators/dedup.py — dedup.py DID change this round and
-    # is consciously re-pinned: the only edit since these entries'
-    # r11-green measurement is the merge_window_hits docstring
-    # (git diff: 8 insertions, 4 deletions, every line inside the
-    # triple-quoted string), which cannot alter any expression.
+    # includes operators/dedup.py and operators/similarity.py — both DID
+    # change this round (r12 optimization: lsh_candidate_pairs gained
+    # the star form + double-Generate pair explode;
+    # signed_random_projection became one Arrow matmul) and are
+    # consciously re-pinned: every entry EXECUTING a changed function
+    # (d2/d6/d7/c10/c12, s6) sits in _EMIT_FIRST for a fresh r12 row;
+    # the tail callers into these modules (c1/c2's exact_dedup /
+    # shingles_of / exploded_word_grams, c8's bloom fns, s2/s3/s5's
+    # ivf/kmeans/cosine fns) execute only unchanged functions.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.
