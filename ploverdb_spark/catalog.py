@@ -107,10 +107,11 @@ DRIVER_EMIT_CAP = 50
 # changes and must re-measure), then the dedup/decontamination family
 # and floor-critical pipeline entries (operators/dedup.py changed this
 # round).  To make room for c13/c14/m8 inside the 50-row window,
-# s2_ivf_topk, t8_quality_quantile and c5_domain_cap moved to the tail:
-# all r11-green, and their operator modules (similarity.py / text.py /
-# packing.py) are UNCHANGED this round, so their pinned chains still
-# describe measured code.  NOTE to driver maintainers: the emitter
+# s2_ivf_topk and c5_domain_cap moved to the tail (r11-green, operator
+# modules unchanged); t8_quality_quantile initially moved with them but
+# rotated back IN mid-r12 when its quality_quantile_filter gained the
+# scored-frame localCheckpoint (d1/d3 moved out instead — see
+# _EMIT_LAST).  NOTE to driver maintainers: the emitter
 # should assert emitted-row count == len(all_oracles()) instead of
 # relying on this ordering.
 _EMIT_FIRST = (
@@ -160,10 +161,16 @@ _EMIT_FIRST = (
     "m7_jpeg_metadata",
     "m8_gif_metadata",
     # dedup/decontamination + floor-critical pipeline entries
-    # (operators/dedup.py changed this round)
-    "d1_exact_dedup",
+    # (operators/dedup.py changed this round).  c2/t8 rotated IN mid-r12:
+    # their executed code changed in this optimization round (c2's gram
+    # path became exploded_word_grams; t8's quality_quantile_filter
+    # gained the scored-frame localCheckpoint), so each needs a fresh
+    # r12 driver row; d1_exact_dedup and d3_simhash moved to the tail to
+    # make room — both r11-green, and the functions they execute
+    # (exact_dedup, simhash) are byte-unchanged this round.
+    "c2_decontamination",
+    "t8_quality_quantile",
     "d2_minhash_lsh_pairs",
-    "d3_simhash",
     "d4_ngram_jaccard",
     "d5_embedding_neardup",
     "d6_dup_groups",
@@ -187,11 +194,18 @@ _EMIT_LAST = (
     # exactly (catalog - 50) entries: 79-entry catalog minus the driver's
     # 50-row cap, so the drop set is EXPLICIT, not whatever registration
     # order leaves last.  Every entry here has a green DRIVER row in
-    # CORRECTNESS_r11 — including s2_ivf_topk / t8_quality_quantile /
-    # c5_domain_cap, demoted this round to make window room for
-    # c13/c14/m8; the functions they execute (ivf/kmeans in similarity.py,
-    # quality_quantile_filter in text.py, cap_per_domain in packing.py)
-    # are unchanged in round 12.  Executed-code provenance for the round-12
+    # CORRECTNESS_r11 — including s2_ivf_topk / c5_domain_cap (demoted
+    # this round to make window room for c13/c14/m8) and d1_exact_dedup /
+    # d3_simhash (demoted mid-r12 so the optimization-changed c2/t8 get
+    # fresh rows); the functions these four execute (ivf/kmeans in
+    # similarity.py, cap_per_domain in packing.py, exact_dedup and
+    # simhash in dedup.py) are unchanged in round 12.  text.py's
+    # quality_quantile_filter and tfidf_topk DID change or were A/B'd
+    # mid-r12: quality_quantile_filter gained the scored-frame
+    # localCheckpoint (its executor t8 sits in _EMIT_FIRST); tfidf_topk
+    # is byte-unchanged (the tf-checkpoint variant was measured a wash
+    # and reverted), so t9's pinned chain still describes measured
+    # code.  Executed-code provenance for the round-12
     # changes (api.py 503-shedding queue-lock read — not in any catalog
     # chain; scalebench.py / bench.py — harness scripts outside the
     # package; operators/multimodal.py JPEG pixel decode — media entries
@@ -204,16 +218,18 @@ _EMIT_LAST = (
     # the star form + double-Generate pair explode;
     # signed_random_projection became one Arrow matmul) and are
     # consciously re-pinned: every entry EXECUTING a changed function
-    # (d2/d6/d7/c10/c12, s6) sits in _EMIT_FIRST for a fresh r12 row;
-    # the tail callers into these modules (c1/c2's exact_dedup /
-    # shingles_of / exploded_word_grams, c8's bloom fns, s2/s3/s5's
-    # ivf/kmeans/cosine fns) execute only unchanged functions.
+    # (d2/d6/d7/c10/c12, s6, and mid-r12 c2/c8/t8) sits in _EMIT_FIRST
+    # for a fresh r12 row; the tail callers into these modules (c1's
+    # exact_dedup / text_features, s2/s3/s5's ivf/kmeans/cosine fns,
+    # t9's tfidf_topk) execute only unchanged functions.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.
     "set_ops_customers",
     "a2_first_order_per_customer",
     "a3_segment_nations",
+    "d1_exact_dedup",
+    "d3_simhash",
     "t1_token_counts",
     "t2_quality_scores",
     "t3_language_id",
@@ -227,7 +243,6 @@ _EMIT_LAST = (
     "s5_ivf_multiprobe",
     "w3_value_deltas",
     "c1_clean_corpus",
-    "c2_decontamination",
     "c3_sequence_packing",
     "c4_stratified_sample",
     "c6_embedding_quantization",
@@ -238,7 +253,6 @@ _EMIT_LAST = (
     "p7_canonical_flip",
     "a4_normalize_merge",
     "s2_ivf_topk",
-    "t8_quality_quantile",
     "c5_domain_cap",
 )
 

@@ -322,6 +322,18 @@ def quality_quantile_filter(
         # LAST) would otherwise shift the cumulative counts differently
         # and the two engines would pick different threshold buckets
     ).where(F.col("bucket").isNotNull())
+    # The scored frame feeds BOTH the histogram and the final filter;
+    # Catalyst does not dedupe common subplans, so without a barrier the
+    # regex/HOF scoring scan runs twice (once per branch).  A lazy
+    # localCheckpoint materializes the NARROW (id, lang, score, bucket)
+    # proxy once — guide §8's "decide with small rows" shape: at corpus
+    # scale a second full text-scoring pass costs a whole corpus read,
+    # while this checkpoint is O(rows x ~30 bytes), spilled to local
+    # disk if needed.  (localCheckpoint, unlike a lazy persist, computes
+    # every partition at its first action, so the partial-cache trap
+    # documented for iterative plans does not apply.)  Interleaved A/B
+    # at sf0.1: 1.41 -> 1.07 s, results identical.
+    bucketed = bucketed.localCheckpoint(eager=False)
     hist = bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -933,3 +933,24 @@ def test_get_neighbors_batch_is_single_job(spark):
         "scan — membership is a BETWEEN+IN filter, originals recovered "
         "driver-side through the canon map)"
     )
+
+
+def test_t8_scores_once_via_checkpoint(spark):
+    """r12 optimization guardrail: quality_quantile_filter's scored frame
+    is lazily localCheckpointed, so the histogram branch and the filter
+    branch both read the SAME checkpointed RDD — the regex/HOF scoring
+    scan runs exactly once per query, not once per branch.  A regression
+    shows up as parquet scans reappearing in the final plan (two scoring
+    evaluations) or as the two branches referencing different RDDs."""
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("t8_quality_quantile").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # no parquet scan above the checkpoint: both branches are RDD scans
+    assert not re.findall(r"\(\d+\) Scan parquet", plan), plan
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", plan))
+    assert len(rdd_ids) == 1, plan
+    scans = re.findall(r"\((\d+)\) Scan ExistingRDD", plan)
+    assert len(set(scans)) == 2, plan
