@@ -181,8 +181,13 @@ _EMIT_FIRST = (
     "s1_cosine_topk",
     "s4_ivf_recall",
     "c7_training_mix",
-    # graph-family sibling of the serving layer (response.py /edges)
-    "j10_edges_between_pairs",
+    # c1 rotated IN mid-r12: its implementation changed in this
+    # optimization round (single-pass min_by rewrite — one corpus scan
+    # instead of two), so it needs a fresh r12 driver row;
+    # j10_edges_between_pairs moved to the tail to make room (r11-green
+    # `j10_edges_between_pairs` row, query/response.py untouched this
+    # round).
+    "c1_clean_corpus",
 )
 
 
@@ -218,10 +223,13 @@ _EMIT_LAST = (
     # the star form + double-Generate pair explode;
     # signed_random_projection became one Arrow matmul) and are
     # consciously re-pinned: every entry EXECUTING a changed function
-    # (d2/d6/d7/c10/c12, s6, and mid-r12 c2/c8/t8) sits in _EMIT_FIRST
-    # for a fresh r12 row; the tail callers into these modules (c1's
-    # exact_dedup / text_features, s2/s3/s5's ivf/kmeans/cosine fns,
-    # t9's tfidf_topk) execute only unchanged functions.
+    # (d2/d6/d7/c10/c12, s6, and mid-r12 c2/c8/t8/c1) sits in
+    # _EMIT_FIRST for a fresh r12 row; the tail callers into these
+    # modules (s2/s3/s5's ivf/kmeans/cosine fns, t9's tfidf_topk, and
+    # the t1-t10 text entries — text.py's text_features gained an
+    # extra_cols passthrough for c1, but token_counts/quality_scores/
+    # language_id and every other tail-executed text function are
+    # byte-unchanged) execute only unchanged functions.
     # tests/test_emission_rotation.py pins each entry's full transitive
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.
@@ -242,7 +250,10 @@ _EMIT_LAST = (
     "s3_kmeans_cells",
     "s5_ivf_multiprobe",
     "w3_value_deltas",
-    "c1_clean_corpus",
+    # j10 demoted mid-r12 (swap with c1_clean_corpus, whose executed
+    # code changed): r11-green driver row, and its chain
+    # (query/response.py get_edges) is untouched this round.
+    "j10_edges_between_pairs",
     "c3_sequence_packing",
     "c4_stratified_sample",
     "c6_embedding_quantization",

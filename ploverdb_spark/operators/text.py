@@ -128,14 +128,26 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
-def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_features(
+    df: DataFrame,
+    text_col: str = "text",
+    extra_cols: dict[str, Column] | None = None,
+) -> DataFrame:
     """Quality + language features in ONE projection — the composed form
     pipelines should use: Catalyst cannot merge two separate per-feature
     scan branches joined on doc_id, so asking for each feature separately
-    re-reads the corpus once per feature at 100 TB."""
+    re-reads the corpus once per feature at 100 TB.
+
+    ``extra_cols`` rides additional named expressions in the SAME
+    projection (e.g. ``{"__h": F.md5("text")}``) so a consumer that needs
+    features PLUS a text-derived key gets both from one corpus read —
+    without it, c1's dedup key needed a second full scan of the corpus.
+    """
     t = F.col(text_col)
     toks = ws_tokens(F.lower(t))
     cols = {**_quality_cols(t, toks), **_lang_cols(toks)}
+    if extra_cols:
+        cols.update(extra_cols)
     return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 

@@ -492,13 +492,38 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage shuffle-bounded.",
 )
 def c1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.4/§8): ONE corpus pass instead of two.
+    # The old shape ran text_features and exact_dedup as separate
+    # subtrees (two full corpus reads — Catalyst does not merge them)
+    # joined by a semi join.  Here the dedup key md5(text) rides in the
+    # SAME projection as the features, and the keep-minimum-id-per-hash
+    # rule is a groupBy(md5) + min_by — one partial-agg exchange of
+    # NARROW feature rows, no second scan, no join.  The quality/length
+    # filter is pushed BEFORE the group min: duplicate texts share
+    # identical feature values, so the filter keeps or drops whole hash
+    # groups and the surviving groups' min doc_id is unchanged (result
+    # equality proven by exceptAll at sf0.1 + the oracle at both SFs).
     corpus = _doubled_docs(spark, sf_dir)
-    feats = T.text_features(corpus).select(
-        "doc_id", "n_tokens", "quality_score", "predicted_lang"
-    )
-    keep = D.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
-    return feats.join(keep, on="doc_id", how="left_semi").where(
-        (F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20)
+    feats = T.text_features(corpus, extra_cols={"__h": F.md5("text")})
+    return (
+        feats.where(
+            (F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 20)
+        )
+        .groupBy("__h")
+        .agg(
+            F.min_by(
+                F.struct(
+                    "doc_id", "n_tokens", "quality_score", "predicted_lang"
+                ),
+                F.col("doc_id"),
+            ).alias("__r")
+        )
+        .select(
+            "__r.doc_id",
+            "__r.n_tokens",
+            "__r.quality_score",
+            "__r.predicted_lang",
+        )
     )
 
 
@@ -1431,11 +1456,21 @@ _C10_SIGS = f"""
     "aggregation.",
 )
 def c10_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §8: decide with small rows): signatures are
+    # computed ONCE over the full corpus and lazily localCheckpointed,
+    # then split into corpus/bench sides.  The old shape ran TWO
+    # independent minhash subtrees — each a full corpus read (the %97
+    # filters don't prune parquet row groups) — so the text was scanned
+    # twice for the same total gram work.  MinHash is per-document, so
+    # filtering before or after signatures is identical (exceptAll 0 at
+    # sf0.1 + oracle); the checkpointed frame is the NARROW signature
+    # proxy (doc_id + 8 hashes), never the text.  Interleaved A/B:
+    # 1.58 -> 1.24 s min-of-4.
     docs = _doubled_docs(spark, sf_dir)
-    corpus = docs.where(F.col("doc_id") % 97 != 0)
-    bench = docs.where(F.col("doc_id") % 97 == 0)
+    sigs = D.minhash_signatures(docs).localCheckpoint(eager=False)
     return D.lsh_cross_contamination(
-        D.minhash_signatures(corpus), D.minhash_signatures(bench)
+        sigs.where(F.col("doc_id") % 97 != 0),
+        sigs.where(F.col("doc_id") % 97 == 0),
     )
 
 

@@ -954,3 +954,41 @@ def test_t8_scores_once_via_checkpoint(spark):
     assert len(rdd_ids) == 1, plan
     scans = re.findall(r"\((\d+)\) Scan ExistingRDD", plan)
     assert len(set(scans)) == 2, plan
+
+
+def test_c1_single_corpus_pass(spark):
+    """r12 optimization guardrail: c1 computes features AND the dedup key
+    md5(text) in ONE projection over the doubled corpus — exactly two
+    parquet scans of documents (one per doubled-union branch), where the
+    old feats-join-dedup shape paid four.  The keep rule is a
+    groupBy(md5) + min_by, so there is no join left in the plan."""
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("c1_clean_corpus").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 2, plan
+    assert "Join" not in plan, plan
+    # map-side partial aggregation must survive the rewrite
+    assert "partial_min_by" in plan or "partial_" in plan, plan
+
+
+def test_c10_signatures_once_via_checkpoint(spark):
+    """r12 optimization guardrail: c10's MinHash signatures are computed
+    once over the full corpus and localCheckpointed; the corpus and
+    bench band-key branches both read the SAME checkpointed RDD.  A
+    regression shows up as parquet scans reappearing in the final plan
+    (two signature subtrees = two full corpus reads)."""
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("c10_lsh_decontamination").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert not re.findall(r"\(\d+\) Scan parquet", plan), plan
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", plan))
+    assert len(rdd_ids) == 1, plan
+    scans = re.findall(r"\((\d+)\) Scan ExistingRDD", plan)
+    assert len(set(scans)) == 2, plan
