@@ -548,11 +548,20 @@ def edit_distance_pairs(
     matrix.  ``rel_distance`` normalizes by the longer compared prefix.
     JVM-side ``levenshtein`` expression (no UDF); DuckDB ships the same
     function, so the oracle is exact.
+
+    The prefix proxy is localCheckpointed (r12, guide §8): the doc_a and
+    doc_b join sides are alias-identical subtrees that Catalyst does NOT
+    reuse (verified on the executed plan — two BroadcastExchange builds,
+    zero ReusedExchange), so without the checkpoint the corpus text is
+    scanned and decoded TWICE.  The checkpointed frame is the NARROW
+    (id, <=prefix_len chars) proxy, never the full text; results are
+    byte-identical (exceptAll 0 at sf0.1; interleaved A/B 2.54 -> 1.63 s
+    min-of-4).
     """
     t = docs.select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, prefix_len).alias("__t"),
-    )
+    ).localCheckpoint(eager=False)
     a = t.select(F.col(id_col).alias(left_col), F.col("__t").alias("t_a"))
     b = t.select(F.col(id_col).alias(right_col), F.col("__t").alias("t_b"))
     joined = pairs.join(a, on=left_col).join(b, on=right_col)

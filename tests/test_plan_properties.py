@@ -992,3 +992,23 @@ def test_c10_signatures_once_via_checkpoint(spark):
     assert len(rdd_ids) == 1, plan
     scans = re.findall(r"\((\d+)\) Scan ExistingRDD", plan)
     assert len(set(scans)) == 2, plan
+
+
+def test_d7_prefix_proxy_checkpointed(spark):
+    """r12 optimization guardrail: edit_distance_pairs localCheckpoints
+    the (id, 256-char prefix) proxy, so the doc_a and doc_b join sides
+    read ONE text scan — Catalyst does not reuse the alias-identical
+    broadcast subtrees (verified: two BroadcastExchange builds, zero
+    ReusedExchange on the executed plan), so without the checkpoint the
+    corpus text is decoded twice.  Only the MinHash pair plan's two
+    doubled-union branches may scan parquet."""
+    import re
+
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("d7_edit_distance_verify").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 2, plan
+    rdd_scans = set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))
+    assert len(rdd_scans) == 2, plan
