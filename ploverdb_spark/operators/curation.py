@@ -93,10 +93,17 @@ def redact_token_spans(
     Scale shape: the span aggregation shuffles only the sparse hit set
     (decontamination outputs are a vanishing fraction of a corpus), and
     the per-doc span list then joins onto the corpus as a BROADCAST
-    hash join — the corpus side never shuffles.  Token surgery is pure
-    higher-order column expressions (zip_with/filter/exists/transform)
-    inside whole-stage codegen: per-token cost is O(spans-in-doc),
-    with no Python in the hot path.
+    hash join — the corpus side never shuffles.  Tokenization happens
+    AFTER that sparse inner join (r12, guide §2.3 "filter before
+    expensive work"): the captured before-plan showed the tokenize
+    Project under the join, re-tokenizing the WHOLE corpus side just
+    for the probe to discard ~99% of it — deterministic per-row work
+    commutes with an inner equi-join, so only flagged documents pay it
+    (O(flagged), not O(corpus); results proven identical by exceptAll
+    at sf0.1 + oracle at both SFs).  Token surgery is higher-order
+    column expressions (zip_with/filter/exists/transform): per-token
+    cost is O(spans-in-doc), no Python in the hot path, and the HOF
+    interpretation overhead is bounded by the same flagged-only input.
     """
     from ploverdb_spark.operators.text import ws_tokens
 
@@ -109,11 +116,11 @@ def redact_token_spans(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("n_tokens_removed"),
     )
-    toks = docs.select(
-        F.col(id_col),
-        ws_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    joined = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(per_doc), on=id_col, how="inner")
+        .withColumn("__toks", ws_tokens(F.lower(F.col(text_col))))
     )
-    joined = toks.join(F.broadcast(per_doc), on=id_col, how="inner")
     # flagged docs carry >= window tokens by construction, so the
     # 1..size position sequence is never ill-formed
     tok_pos = F.zip_with(

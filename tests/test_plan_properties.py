@@ -1012,3 +1012,32 @@ def test_d7_prefix_proxy_checkpointed(spark):
     assert len(scans) == 2, plan
     rdd_scans = set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))
     assert len(rdd_scans) == 2, plan
+
+
+def test_c14_tokenizes_after_sparse_join(spark):
+    """r12 optimization guardrail: redact_token_spans tokenizes AFTER the
+    sparse broadcast inner join with the flagged-doc span lists, so only
+    flagged documents (O(flagged), ~1% of the corpus) pay the tokenize +
+    HOF surgery — the before-plan evaluated ws_tokens in a Project UNDER
+    the join, re-tokenizing the whole corpus side.  Regression signature:
+    a split(lower(text)) expression appearing below the final inner
+    BroadcastHashJoin instead of above it."""
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    import re
+
+    df = get("c14_span_redaction").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # formatted-plan node ids grow toward the root (Scan parquet = (1));
+    # the redaction tokenize (the projection producing __toks) must sit
+    # ABOVE the final inner join — i.e. in a node with a LARGER id.
+    m_join = re.search(r"BroadcastHashJoin Inner [^\n(]*\((\d+)\)", plan)
+    assert m_join, plan
+    join_id = int(m_join.group(1))
+    toks_nodes = [
+        int(n)
+        for n in re.findall(r"\((\d+)\) Project[^\n]*\n[^\n]*AS __toks",
+                            plan)
+    ]
+    assert toks_nodes, plan
+    assert all(n > join_id for n in toks_nodes), (toks_nodes, join_id)
