@@ -170,8 +170,15 @@ _EMIT_FIRST = (
     # (exact_dedup, simhash) are byte-unchanged this round.
     "c2_decontamination",
     "t8_quality_quantile",
+    # a2_first_order_per_customer rotated IN mid-r12: its executed code
+    # changed in this optimization round (row_number window -> min_by
+    # hash aggregation), so it needs a fresh r12 driver row;
+    # d4_ngram_jaccard moved to the tail to make room (r11-green, and
+    # the function it executes — ngram_jaccard — is byte-unchanged this
+    # round; its dedup.py chain is consciously re-pinned like the
+    # s2/s3/s5 tail callers).
+    "a2_first_order_per_customer",
     "d2_minhash_lsh_pairs",
-    "d4_ngram_jaccard",
     "d5_embedding_neardup",
     "d6_dup_groups",
     "d7_edit_distance_verify",
@@ -234,7 +241,18 @@ _EMIT_LAST = (
     # module chain by content hash; any unpinned change to a chain module
     # fails that test loudly instead of silently staling a tail row.
     "set_ops_customers",
-    "a2_first_order_per_customer",
+    # d4 demoted mid-r12 (swap with a2_first_order_per_customer, whose
+    # executed code changed to the min_by form): r11-green driver row;
+    # ngram_jaccard and d4's registration are byte-unchanged this round
+    # (the pruned-tokset variant was measured SLOWER and rejected), so
+    # its last green row still describes the executed code.  Its chain
+    # includes the r12-changed dedup.py/relational.py/windows.py —
+    # consciously re-pinned: the tail's executed functions there
+    # (ngram_jaccard; set_ops/a3_segment's relational registrations;
+    # w3_value_deltas) are all byte-unchanged, while the entries whose
+    # executed code DID change (a2 min_by, j12 max_by) sit in
+    # _EMIT_FIRST for fresh r12 rows.
+    "d4_ngram_jaccard",
     "a3_segment_nations",
     "d1_exact_dedup",
     "d3_simhash",

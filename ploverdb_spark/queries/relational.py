@@ -128,15 +128,30 @@ def j1_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
     """,
     doc="First-example-per-group (SURVEY §2.4 A2, plover.py:1156-1163): "
-    "row_number window with deterministic tie-break.",
+    "top-1 per group with deterministic tie-break.",
 )
 def a2_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # row_number window form sorted ALL orders by (custkey, date, key)
+    # behind a full exchange just to keep row 1 per customer; min_by
+    # over the (date, key) struct returns the SAME row (unique
+    # o_orderkey tie-break, lexicographic struct order == the window's
+    # ORDER BY) from a hash aggregation with map-side partial agg — no
+    # sort, and the shuffle carries one row per (customer, map
+    # partition) instead of every order.  Results proven identical
+    # (exceptAll 0 both directions at sf0.1; oracle green at both SFs);
+    # interleaved A/B min-of-6: 0.332 -> 0.229 s, every paired rep
+    # faster.
     orders = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("__r")
+        )
+        .select("o_custkey", "__r.o_orderkey", "__r.o_orderdate")
     )
 
 

@@ -195,17 +195,30 @@ def j12_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.order_sec <= events.ts_sec),
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("order_sec").desc(), F.col("o_orderkey").desc()
-    )
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # per-event top-1 was a row_number window — a full sort of the
+    # range-join blowup behind its exchange.  max_by over the
+    # (order_sec, o_orderkey) struct picks the SAME row (unique
+    # o_orderkey tie-break; lexicographic struct order == the window's
+    # ORDER BY ... DESC pair) from a hash aggregation whose map-side
+    # partial agg collapses each event's matching orders BEFORE the
+    # shuffle — the term that matters at scale, where the range join
+    # multiplies rows per event.  Results proven identical (exceptAll 0
+    # both directions at sf0.1; oracle green at both SFs); interleaved
+    # A/B min-of-6: 0.457 -> 0.412 s.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        joined.groupBy("user_id", "event_id", "ts_sec")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "order_sec"),
+                F.struct("order_sec", "o_orderkey"),
+            ).alias("__r")
+        )
         .select(
             "user_id",
             "event_id",
             "ts_sec",
-            F.col("o_orderkey").alias("last_order_key"),
-            F.col("order_sec").alias("last_order_sec"),
+            F.col("__r.o_orderkey").alias("last_order_key"),
+            F.col("__r.order_sec").alias("last_order_sec"),
         )
     )

@@ -1041,3 +1041,33 @@ def test_c14_tokenizes_after_sparse_join(spark):
     ]
     assert toks_nodes, plan
     assert all(n > join_id for n in toks_nodes), (toks_nodes, join_id)
+
+
+def test_a2_first_order_partial_agg_no_window(spark):
+    """r12 optimization guardrail: a2's top-1-per-customer runs as a
+    min_by aggregation with MAP-SIDE PARTIAL aggregation (the shuffle
+    carries one row per customer per map partition), not as a
+    row_number window over a full sort of orders.  The struct ordering
+    forces SortAggregate (struct buffers aren't hash-aggregable), but
+    the partial sort is by the GROUP KEY only and the exchange carries
+    combined partials — the scale property this pin protects."""
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("a2_first_order_per_customer").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "partial_min_by" in plan, plan
+    assert ") Window" not in plan, plan
+
+
+def test_j12_asof_partial_agg_no_window(spark):
+    """r12 optimization guardrail: j12's per-event top-1 over the
+    range-join blowup runs as a max_by aggregation whose map-side
+    partial agg collapses each event's matching orders BEFORE the
+    shuffle — not as a row_number window that shuffles and sorts every
+    joined row."""
+    from ploverdb_spark.plans.checks import formatted_plan
+
+    df = get("j12_asof_last_order").fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "partial_max_by" in plan, plan
+    assert ") Window" not in plan, plan
