@@ -114,7 +114,8 @@ def c13_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp GROUP BY doc_id, gid
     ), agg AS (
       SELECT doc_id, COUNT(*) AS n_spans,
-             SUM(span_end - span_start + 1) AS n_tokens_removed
+             CAST(SUM(span_end - span_start + 1) AS BIGINT)
+               AS n_tokens_removed
       FROM spans GROUP BY doc_id
     ), tokpos AS (
       SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks

@@ -38,6 +38,8 @@ def _canon_val(v):
 
     if isinstance(v, (np.ndarray, list, tuple)):
         return tuple(_canon_val(x) for x in v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating, float)):
@@ -54,6 +56,15 @@ def _val_eq(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    # The driver's value hash is type-sensitive: an int column on one side
+    # and a float column on the other (e.g. a DuckDB HUGEINT SUM surfacing
+    # as float64) hash differently even when 94 == 94.0 — the exact failure
+    # mode that made c14_span_redaction driver-red in r12 while this
+    # replica stayed green.  Refuse the cross-type comparison.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
     return a == b
 
 
